@@ -1,0 +1,121 @@
+"""Stage C — connected-components canonicalization.
+
+Clusters the ``same_as`` link graph (surface ↔ canonical-id edges,
+transitively) and assigns every node a deterministic canonical
+component id.  This is the one genuinely custom distributed algorithm
+in the engine (SURVEY.md §2.2 'self-join iterate'): the
+**large-star / small-star** method of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SOCC'14) — O(log n) rounds on
+any graph, each round two groupBy+join shuffles, with per-round
+``localCheckpoint()`` to truncate lineage (SURVEY.md §4).
+
+The reference has no graph algorithm at all (its reconciliation is a
+point lookup per lexeme, ``lexicator/WikidataUploader.py`` [M]); at
+10^12-turn scale transitive alias clustering has to be a fixpoint of
+DataFrame self-joins instead.
+
+Convergence detection: the edge multiset is compared between rounds
+with a (count, xor/sum of xxhash64) aggregate — one cheap job, no
+exceptAll shuffle.  Determinism: node ids are strings; min() over
+them is total, so component labels are reproducible across runs,
+partitionings and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lexicator_spark import rules
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    e = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    kept = mins.select("u", F.col("m").alias("v"))
+    return moved.union(kept).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, use_checkpoint: bool = True
+) -> DataFrame:
+    """edges(u string, v string) → assignments(node string, comp string)
+    where ``comp`` is the lexicographic min node of the component.
+    Nodes only appear if they occur in an edge (callers union isolated
+    nodes as self-edges if needed)."""
+    cur = (
+        edges.select(F.col("u").cast("string"), F.col("v").cast("string"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur))
+        if use_checkpoint:
+            cur = cur.localCheckpoint(eager=True)
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # at fixpoint every edge is (node, root)
+    assignments = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = cur.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+    return assignments.union(roots).distinct()
+
+
+def canonical_of_triples(assignments: DataFrame) -> DataFrame:
+    """assignments → ``canonical_of`` triples.  The canonical id of a
+    component is its catalog QID when one is a member (preferring the
+    min QID), else the min node — deterministic either way."""
+    comp_canon = assignments.groupBy("comp").agg(
+        F.coalesce(
+            F.min(F.when(F.col("node").startswith("Q_"), F.col("node"))),
+            F.min("node"),
+        ).alias("canonical_id")
+    )
+    return (
+        assignments.join(comp_canon, "comp")
+        .filter(F.col("node") != F.col("canonical_id"))
+        .select(
+            F.col("node").alias("subj"),
+            F.lit(rules.PRED_CANONICAL_OF).alias("pred"),
+            F.col("canonical_id").alias("obj"),
+            F.lit(1.0).alias("conf"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.lit(None).cast("timestamp").alias("extracted_at"),
+        )
+    )

@@ -1,0 +1,169 @@
+"""Stage orchestration: extract → link → canonicalize → materialize,
+with per-stage checkpoints (resume skips completed stages) and
+per-stage lineage metrics — the Spark re-design of lexicator's
+pipeline-of-ContentStores DAG (``lexicator/__main__.py`` ::
+``Lexicator``/``caches`` dict [M], SURVEY.md §3.1).
+
+Each stage is a pure ``DataFrame → DataFrame`` function whose output
+is persisted as a stage table; resumability = checking the stage's
+``_SUCCESS``-backed checkpoint marker before recomputing (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Lineage rows: (stage, rows_in, rows_out, wall_ms, n_partitions) are
+appended to ``<root>/_lineage``; checkpoint markers to
+``<root>/_checkpoints`` — both ordinary tables so a driver on any
+node can consult them (FIXTURES.md §4 schemas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lexicator_spark.operators.canonicalize import (
+    canonical_of_triples,
+    connected_components,
+)
+from lexicator_spark.operators.extract import extract_triples, split_rejects
+from lexicator_spark.operators.link import build_catalog, link_mentions
+from lexicator_spark.sources import io as sio
+from lexicator_spark import rules
+
+
+@dataclass
+class PipelineResult:
+    triples_path: str
+    entities_path: str
+    lineage: list[dict]
+    stages_run: list[str]
+    stages_skipped: list[str]
+
+
+def _ckpt_path(root: str, stage: str) -> str:
+    return os.path.join(root, "_checkpoints", f"{stage}.json")
+
+
+def _mark_done(root: str, stage: str, meta: dict) -> None:
+    os.makedirs(os.path.join(root, "_checkpoints"), exist_ok=True)
+    with open(_ckpt_path(root, stage), "w") as f:
+        json.dump({"stage": stage, "status": "done", **meta}, f)
+
+
+def _is_done(root: str, stage: str) -> bool:
+    return os.path.exists(_ckpt_path(root, stage))
+
+
+def _append_lineage(spark: SparkSession, root: str, row: dict) -> None:
+    df = spark.createDataFrame(
+        [(row["stage"], row["rows_in"], row["rows_out"], row["wall_ms"], row["n_partitions"])],
+        "stage string, rows_in bigint, rows_out bigint, wall_ms bigint, n_partitions int",
+    )
+    df.coalesce(1).write.mode("append").parquet(os.path.join(root, "_lineage"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    turns: DataFrame,
+    out_root: str,
+    resume: bool = True,
+    impl: str = "pandas",
+    n_buckets: int = sio.DEFAULT_BUCKETS,
+) -> PipelineResult:
+    """Run (or resume) the full KG-construction pipeline.
+
+    Stage tables under ``out_root``:
+      triples_raw/   Stage A output (+ rejects/ error channel)
+      triples/       A + same_as + canonical_of, final graph edges
+      entities/      canonical_id → surface_form rows
+    """
+    lineage: list[dict] = []
+    run: list[str] = []
+    skipped: list[str] = []
+
+    def staged(name: str, in_df: DataFrame | None, fn, out_path: str, partition_key):
+        if resume and _is_done(out_root, name):
+            skipped.append(name)
+            return sio.read_table(spark, out_path)
+        t0 = time.monotonic()
+        out_df = fn()
+        sio.write_table(out_df, out_path, partition_key=partition_key, n_buckets=n_buckets)
+        persisted = sio.read_table(spark, out_path)
+        rows_out = persisted.count()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        row = {
+            "stage": name,
+            "rows_in": in_df.count() if in_df is not None else -1,
+            "rows_out": rows_out,
+            "wall_ms": wall_ms,
+            "n_partitions": persisted.rdd.getNumPartitions(),
+        }
+        lineage.append(row)
+        _append_lineage(spark, out_root, row)
+        _mark_done(out_root, name, {"rows_out": rows_out, "wall_ms": wall_ms})
+        run.append(name)
+        return persisted
+
+    raw_path = os.path.join(out_root, "triples_raw")
+    triples_path = os.path.join(out_root, "triples")
+    entities_path = os.path.join(out_root, "entities")
+
+    # Stage A — extraction
+    def stage_a():
+        good, rejects = split_rejects(extract_triples(turns, impl=impl))
+        sio.write_table(rejects, os.path.join(out_root, "rejects"), partition_key=None)
+        return good
+
+    triples_a = staged("extract", turns, stage_a, raw_path, "conv_id")
+
+    # Stage B — linking
+    def stage_b():
+        catalog = build_catalog(spark)
+        return link_mentions(triples_a, catalog)
+
+    same_as = staged("link", triples_a, stage_b, os.path.join(out_root, "same_as"), None)
+
+    # Stage C — canonicalization
+    def stage_c():
+        edges = same_as.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        assignments = connected_components(edges)
+        return canonical_of_triples(assignments)
+
+    canonical = staged("canonicalize", same_as, stage_c, os.path.join(out_root, "canonical"), None)
+
+    # Stage D — materialize final graph tables
+    def stage_d():
+        return triples_a.unionByName(same_as).unionByName(canonical)
+
+    staged("materialize", None, stage_d, triples_path, "conv_id")
+
+    def stage_entities():
+        return (
+            canonical.select(
+                F.col("obj").alias("canonical_id"), F.col("subj").alias("surface_form")
+            )
+            .union(
+                canonical.select(
+                    F.col("obj").alias("canonical_id"), F.col("obj").alias("surface_form")
+                )
+            )
+            .distinct()
+        )
+
+    staged("entities", None, stage_entities, entities_path, None)
+
+    return PipelineResult(
+        triples_path=triples_path,
+        entities_path=entities_path,
+        lineage=lineage,
+        stages_run=run,
+        stages_skipped=skipped,
+    )
+
+
+def triples_of(spark: SparkSession, out_root: str) -> DataFrame:
+    return sio.read_table(spark, os.path.join(out_root, "triples"))

@@ -1,0 +1,95 @@
+"""Storage seam: Iceberg when the runtime jar + catalog are present,
+partitioned parquet otherwise (SURVEY.md §7 hard-part (c)).
+
+Every stage boundary in the pipeline goes through ``write_table`` /
+``read_table`` so the rest of the engine never knows which backend it
+got.  Tables are salted-hash-partitioned on ``conv_id``
+(``p_hash = pmod(xxhash64(conv_id), n_buckets)``, north_rule) so that
+
+- a downstream stage reading one stage-table partition sees complete
+  conversations (extraction windows never straddle partitions), and
+- hot conversations spread across buckets deterministically.
+
+The reference's equivalent is the per-stage sqlite/file ContentStore
+(``lexicator/wikicache/ContentStore.py`` [M]); snapshot isolation +
+incremental refresh map to Iceberg snapshots when available.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured and the runtime jar
+    loads.  In the sandbox this is False — parquet fallback."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.Class.forName("org.apache.iceberg.catalog.Catalog")
+        return any(
+            k.startswith("spark.sql.catalog.") for k, _ in spark.sparkContext.getConf().getAll()
+        )
+    except Exception:
+        return False
+
+
+def with_partition_hash(df: DataFrame, key: str = "conv_id", n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return df.withColumn("p_hash", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    mode: str = "overwrite",
+    partition_key: str | None = "conv_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Write a stage table.  ``location`` is a path (parquet backend)
+    or a catalog table name (iceberg backend, when available)."""
+    spark = df.sparkSession
+    if iceberg_available(spark) and not os.path.isabs(location):
+        writer = df.writeTo(location)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    if partition_key is not None and partition_key in df.columns:
+        df = with_partition_hash(df, partition_key, n_buckets)
+        df.write.mode(mode).partitionBy("p_hash").parquet(location)
+    else:
+        df.write.mode(mode).parquet(location)
+    # explicit schema sidecar: reads never infer (and an all-empty
+    # write — no parquet footers — still reads back as an empty table)
+    with open(os.path.join(location, "_schema.json"), "w") as f:
+        f.write(df.schema.json())
+
+
+def read_table(spark: SparkSession, location: str) -> DataFrame:
+    if iceberg_available(spark) and not os.path.isabs(location):
+        return spark.read.table(location)
+    from pyspark.sql import types as T
+
+    reader = spark.read
+    schema_path = os.path.join(location, "_schema.json")
+    schema = None
+    if os.path.exists(schema_path):
+        with open(schema_path) as f:
+            schema = T.StructType.fromJson(__import__("json").loads(f.read()))
+        reader = reader.schema(schema)
+    try:
+        df = reader.parquet(location)
+    except Exception:
+        if schema is None:
+            raise
+        df = spark.createDataFrame([], schema)
+    return df.drop("p_hash") if "p_hash" in df.columns else df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

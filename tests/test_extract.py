@@ -1,0 +1,74 @@
+"""Stage A unit + parity tests (SURVEY.md §5 items 1/2/4)."""
+
+from __future__ import annotations
+
+from lexicator_spark import rules, synth
+from lexicator_spark.operators.extract import extract_triples
+from tests import oracle
+
+
+def _triple_set(df):
+    return {(r.subj, r.pred, r.obj) for r in df.select("subj", "pred", "obj").collect()}
+
+
+def test_extract_matches_oracle_pandas(spark):
+    corpus = synth.make_corpus(n_convs=60, seed=7)
+    df = synth.corpus_df(spark, corpus)
+    got = _triple_set(extract_triples(df, impl="pandas"))
+    expected = oracle.extract_oracle(corpus.rows)
+    assert got == expected
+
+
+def test_extract_native_equals_pandas(spark):
+    corpus = synth.make_corpus(n_convs=40, seed=11)
+    df = synth.corpus_df(spark, corpus)
+    a = _triple_set(extract_triples(df, impl="pandas"))
+    b = _triple_set(extract_triples(df, impl="native"))
+    assert a == b
+
+
+def test_extract_covers_generator_goldens(spark):
+    """The generator's planted payloads are a subset of what the rules
+    find (the rules may find more, e.g. alias hits inside filler)."""
+    corpus = synth.make_corpus(n_convs=50, seed=3)
+    df = synth.corpus_df(spark, corpus)
+    got = _triple_set(extract_triples(df))
+    golden_a = {
+        t
+        for t in corpus.golden
+        if t[1]
+        in (
+            rules.PRED_USES_TOOL,
+            rules.PRED_MENTIONS,
+            rules.PRED_REPLIES_TO,
+            rules.PRED_DEPENDS_ON,
+            rules.PRED_INVOKES,
+        )
+    }
+    missing = golden_a - got
+    assert not missing, f"missing planted triples: {sorted(missing)[:10]}"
+
+
+def test_order_invariance(spark):
+    """Shuffled input rows / different partitioning → identical triple
+    set (north_rule stable-ordering invariant)."""
+    corpus = synth.make_corpus(n_convs=30, seed=5, shuffled=False)
+    df1 = synth.corpus_df(spark, corpus)
+    import random
+
+    rows = list(corpus.rows)
+    random.Random(99).shuffle(rows)
+    corpus2 = synth.Corpus(rows=rows)
+    df2 = synth.corpus_df(spark, corpus2).repartition(7)
+    assert _triple_set(extract_triples(df1)) == _triple_set(extract_triples(df2))
+
+
+def test_error_channel_never_throws(spark):
+    """Pathological text lands in the _error channel, not an exception."""
+    rows = [("c0", 0, "user", None, None, synth.EPOCH)]
+    corpus = synth.Corpus(rows=rows)
+    df = synth.corpus_df(spark, corpus)
+    # None text is filtered by the rules; must simply produce no text triples
+    out = extract_triples(df)
+    preds = {r.pred for r in out.select("pred").distinct().collect()}
+    assert rules.PRED_MENTIONS not in preds

@@ -1,0 +1,79 @@
+"""End-to-end pipeline parity (the BASELINE.json metric check),
+resume-from-checkpoint, and lineage tests (SURVEY.md §5 items 1/5)."""
+
+from __future__ import annotations
+
+import os
+
+from lexicator_spark import synth
+from lexicator_spark.plans.pipeline import run_pipeline, triples_of
+from tests import oracle
+
+
+def _tset(df):
+    return {(r.subj, r.pred, r.obj) for r in df.select("subj", "pred", "obj").collect()}
+
+
+def test_full_pipeline_pr_against_oracle(spark, tmp_path):
+    """Triple P/R ≥ 0.95 vs the pure-Python reference-semantics oracle
+    (target 1.0 — same rules, so any gap is a distributed bug)."""
+    corpus = synth.make_corpus(n_convs=120, seed=42)
+    df = synth.corpus_df(spark, corpus)
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, df, out, resume=False)
+    got = _tset(triples_of(spark, out))
+    expected = oracle.full_oracle(corpus.rows)
+    p, r = oracle.precision_recall(got, expected)
+    assert p >= 0.95 and r >= 0.95, f"precision={p:.4f} recall={r:.4f}"
+    assert got == expected, (
+        f"exact parity expected; extra={sorted(got - expected)[:5]} "
+        f"missing={sorted(expected - got)[:5]}"
+    )
+
+
+def test_pipeline_resume_skips_done_stages(spark, tmp_path):
+    corpus = synth.make_corpus(n_convs=40, seed=8)
+    df = synth.corpus_df(spark, corpus)
+    out = str(tmp_path / "kg")
+
+    res1 = run_pipeline(spark, df, out, resume=True)
+    assert res1.stages_run and not res1.stages_skipped
+    first = _tset(triples_of(spark, out))
+
+    # second run must skip every stage and produce identical tables
+    res2 = run_pipeline(spark, df, out, resume=True)
+    assert not res2.stages_run
+    assert set(res2.stages_skipped) == set(res1.stages_run)
+    assert _tset(triples_of(spark, out)) == first
+
+
+def test_pipeline_resume_mid_run(spark, tmp_path):
+    """Kill after Stage A (simulated by a first run whose later
+    checkpoints are removed), rerun, assert identical final tables and
+    that Stage A was skipped."""
+    corpus = synth.make_corpus(n_convs=40, seed=9)
+    df = synth.corpus_df(spark, corpus)
+    out_full = str(tmp_path / "full")
+    run_pipeline(spark, df, out_full, resume=False)
+    want = _tset(triples_of(spark, out_full))
+
+    out = str(tmp_path / "resumed")
+    run_pipeline(spark, df, out, resume=False)
+    # simulate mid-run kill: drop every checkpoint after extract
+    for stage in ("link", "canonicalize", "materialize", "entities"):
+        os.remove(os.path.join(out, "_checkpoints", f"{stage}.json"))
+    res = run_pipeline(spark, df, out, resume=True)
+    assert "extract" in res.stages_skipped
+    assert "link" in res.stages_run
+    assert _tset(triples_of(spark, out)) == want
+
+
+def test_lineage_written(spark, tmp_path):
+    corpus = synth.make_corpus(n_convs=10, seed=4)
+    df = synth.corpus_df(spark, corpus)
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, df, out, resume=False)
+    lin = spark.read.parquet(os.path.join(out, "_lineage"))
+    stages = {r.stage for r in lin.select("stage").distinct().collect()}
+    assert {"extract", "link", "canonicalize", "materialize", "entities"} <= stages
+    assert lin.filter("rows_out < 0").count() == 0
