@@ -1,38 +1,979 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2.2 (plus the KG pipeline stages and the training-data
+operators); ``oracle_sql()`` provides an exact ANSI-SQL twin for
+DuckDB wherever the operator is SQL-expressible.
+
+Float discipline (driver compares order-insensitive value hashes):
+money-like aggregates are emitted as integer cents
+(``CAST(ROUND(x*100) AS BIGINT)``); ratio outputs are single IEEE
+divisions (bit-identical across engines) rounded to fixed decimals.
+Column names are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lexicator_spark.operators import dedup as D  # noqa: E402
+from lexicator_spark.operators import similarity as SIM  # noqa: E402
+from lexicator_spark.operators import textstats as TS  # noqa: E402
+from lexicator_spark.operators.asof import asof_join, sessionize  # noqa: E402
+from lexicator_spark.operators.canonicalize import connected_components  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100, 0).cast("bigint")
+
+
+# ===========================================================================
+# entry — flagship: KG-style mention extraction + linking over documents
+# ===========================================================================
+KG_TERMS = ["spark", "stream", "vector", "hash", "window", "join", "merge"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: extract catalog-term mentions from
+    documents (Stage-A analog), join to language-ID (enrichment), and
+    aggregate mention counts per (term, lang_pred) — scan → extract →
+    join → agg end-to-end."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    mentions = _kg_extract_mentions(spark, sf_dir)
+    langs = TS.with_langid(docs).select("doc_id", "lang_pred")
+    return (
+        mentions.join(langs, "doc_id")
+        .groupBy("term", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_mentions"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy("term", "lang_pred")
+    )
 
 
+# ===========================================================================
+# relational core (TPC-H-ish)
+# ===========================================================================
+def _q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            _cents(F.sum("l_extendedprice")).alias("sum_base_price_c"),
+            _cents(F.sum(disc_price)).alias("sum_disc_price_c"),
+            _cents(F.sum(charge)).alias("sum_charge_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(ROUND(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_base_price_c,
+       CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_disc_price_c,
+       CAST(ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100, 0) AS BIGINT) AS sum_charge_c,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q3(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(_cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderpriority,
+       CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue_c DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q5(spark, sf):
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_c"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def _join_broadcast(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        )
+    )
+
+
+_JOIN_BROADCAST_SQL = """
+SELECT p_brand, count(*) AS n_items, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def _semi_join(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+def _anti_join(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _window_topk(spark, sf):
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def _window_running(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).cast("bigint").alias("running_qty"),
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(l_quantity) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+FROM lineitem
+"""
+
+
+def _window_lag_lead(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (epoch_us - F.lag(epoch_us).over(w)).alias("gap_us"),
+    )
+
+
+_WINDOW_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       lag(event_type) OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def _rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("bigint").alias("qty"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _cube(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def _grouping_sets(spark, sf):
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def _distinct_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_DISTINCT_AGG_SQL = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def _topk_global(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", _cents(F.col("o_totalprice")).alias("o_totalprice_c"))
+    )
+
+
+_TOPK_GLOBAL_SQL = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS o_totalprice_c
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def _set_intersect(spark, sf):
+    orders = _t(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersect(b)
+
+
+_SET_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def _set_except(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.select("c_custkey").exceptAll(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+
+
+_SET_EXCEPT_SQL = """
+SELECT c_custkey FROM customer
+EXCEPT ALL
+SELECT DISTINCT o_custkey AS c_custkey FROM orders
+"""
+
+
+def _string_funcs(spark, sf):
+    cust = _t(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).alias("name_digits"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000001")).alias("lev"),
+    )
+
+
+_STRING_FUNCS_SQL = """
+SELECT c_custkey, upper(c_name) AS name_upper,
+       CAST(length(c_name) AS INT) AS name_len,
+       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+       CAST(levenshtein(c_name, 'Customer#000000001') AS INT) AS lev
+FROM customer
+"""
+
+
+def _json_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def _time_bucket(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _cents(F.sum("value")).alias("sum_value_c"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value_c")
+    )
+
+
+_TIME_BUCKET_SQL = """
+SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))::TIMESTAMP AS bucket,
+       event_type, count(*) AS n,
+       CAST(ROUND(sum(value) * 100, 0) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+def _sessionize_q(spark, sf):
+    ev = _t(spark, sf, "events")
+    sess = sessionize(ev, by="user_id", ts_col="ts", gap_minutes=30)
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+
+def _asof_q(spark, sf):
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        purchases, views.select("user_id", "ts", "value"), on="ts", by="user_id",
+        right_value="value", alias="last_view_value",
+    )
+    return out.select(
+        "event_id", "user_id", _cents(F.col("last_view_value")).alias("last_view_value_c")
+    )
+
+
+_ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, NULL::DOUBLE AS rv, 1 AS side, event_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, value AS rv, 0 AS side, NULL AS event_id
+  FROM events WHERE event_type = 'view'
+), filled AS (
+  SELECT event_id, user_id, side,
+         last_value(rv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+  FROM tagged
+)
+SELECT event_id, user_id,
+       CAST(ROUND(last_view_value * 100, 0) AS BIGINT) AS last_view_value_c
+FROM filled WHERE side = 1
+"""
+
+
+def _range_join(spark, sf):
+    ev = _t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id"), F.col("ts").alias("err_ts")
+    )
+    return (
+        errors.join(
+            ev.select("user_id", F.col("ts").alias("ev_ts")),
+            "user_id",
+        )
+        .filter(
+            (F.col("ev_ts") < F.col("err_ts"))
+            & (F.col("ev_ts") >= F.col("err_ts") - F.expr("INTERVAL 5 MINUTES"))
+        )
+        .groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_prior_5min"))
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT e.event_id AS err_id, count(*) AS n_prior_5min
+FROM events e JOIN events x ON e.user_id = x.user_id
+WHERE e.event_type = 'error'
+  AND x.ts < e.ts AND x.ts >= e.ts - INTERVAL 5 MINUTE
+GROUP BY e.event_id
+"""
+
+
+def _pivot_status(spark, sf):
+    orders = _t(spark, sf, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in statuses],
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS n_F,
+       count(*) FILTER (o_orderstatus = 'O') AS n_O,
+       count(*) FILTER (o_orderstatus = 'P') AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _approx_aggs(spark, sf):
+    """HLL distinct + approximate quantiles — sketch outputs are
+    engine-specific, so this is a rows-only check; exactness bounds
+    are asserted in tests/test_entry_queries.py instead."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    )
+
+
+def _group_assembly(spark, sf):
+    """Ordered per-group assembly (lexicator's page→lexeme fold,
+    SURVEY.md §2 #7): per user, the event-type sequence in stable
+    (ts, event_id) order collapsed to a signature string."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ",",
+        ).alias("event_seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_GROUP_ASSEMBLY_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# KG operators over testdata
+# ===========================================================================
+def _kg_extract_mentions(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != F.lit(""))
+    )
+    terms = F.array(*[F.lit(t) for t in KG_TERMS])
+    return docs.select(
+        "doc_id", F.explode(F.array_intersect(toks, terms)).alias("term")
+    )
+
+
+_KG_EXTRACT_SQL = f"""
+SELECT DISTINCT doc_id, t.term
+FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+WHERE t.term IN ({", ".join(repr(t) for t in KG_TERMS)})
+"""
+
+
+def _kg_cooccurrence(spark, sf):
+    m = _kg_extract_mentions(spark, sf)
+    a = m.select("doc_id", F.col("term").alias("term_a"))
+    b = m.select("doc_id", F.col("term").alias("term_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_KG_COOCCURRENCE_SQL = f"""
+WITH mentions AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+  WHERE t.term IN ({", ".join(repr(t) for t in KG_TERMS)})
+)
+SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2
+"""
+
+
+def _kg_connected_components(spark, sf):
+    """CC over per-user event chains: edge = (event, next event of the
+    same user).  Chains are the adversarial case for label propagation
+    (diameter = chain length); large-star/small-star resolves them in
+    O(log n) rounds.  Node ids zero-padded so string-min == numeric-min,
+    which gives the oracle a closed form (min event per user)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    node = F.concat(F.lit("e"), F.lpad(F.col("event_id").cast("string"), 8, "0"))
+    nxt = F.lead(node).over(w)
+    edges = (
+        ev.select(node.alias("u"), nxt.alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    return connected_components(edges).select("node", "comp")
+
+
+_KG_CC_SQL = """
+WITH chained AS (
+  SELECT 'e' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS node,
+         min('e' || lpad(CAST(event_id AS VARCHAR), 8, '0'))
+           OVER (PARTITION BY user_id) AS comp,
+         count(*) OVER (PARTITION BY user_id) AS n_user_events
+  FROM events
+)
+SELECT node, comp FROM chained WHERE n_user_events > 1
+"""
+
+
+def _kg_pipeline_triples(spark, sf):
+    """Full KG pipeline (extract→link→canonicalize) on the
+    deterministic synthetic transcript corpus — not SQL-expressible
+    (iterative CC + pandas-UDF extraction); driver records the
+    rows-only check, pytest holds the P/R gate."""
+    from lexicator_spark import synth
+    from lexicator_spark.operators.canonicalize import canonical_of_triples
+    from lexicator_spark.operators.extract import extract_triples, split_rejects
+    from lexicator_spark.operators.link import build_catalog, link_mentions
+
+    corpus = synth.make_corpus(n_convs=300, seed=42)
+    turns = synth.corpus_df(spark, corpus)
+    triples, _rej = split_rejects(extract_triples(turns))
+    same_as = link_mentions(triples, build_catalog(spark))
+    assignments = connected_components(
+        same_as.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    )
+    canonical = canonical_of_triples(assignments)
+    return triples.unionByName(same_as).unionByName(canonical).select(
+        "subj", "pred", "obj"
+    )
+
+
+# ===========================================================================
+# dedup / similarity / text analysis
+# ===========================================================================
+def _dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _dedup_tokenset(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != F.lit(""))
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(F.concat_ws(" ", toks)).alias("sig"))
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+_DEDUP_TOKENSET_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))), ' ')) AS sig,
+       min(doc_id) AS keep_id, count(*) AS n_members
+FROM documents GROUP BY 1
+"""
+
+
+_JACCARD_MAX_DOC = 120
+
+
+def _dedup_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _JACCARD_MAX_DOC)
+    return D.ngram_jaccard_pairs(docs, threshold=0.6, max_token_df=10**9)
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE doc_id < {_JACCARD_MAX_DOC} AND t.tok <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       CAST(c.n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - c.n_common AS DOUBLE) AS jaccard
+FROM common c JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
+WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - c.n_common AS DOUBLE) >= 0.6
+"""
+
+
+def _dedup_minhash(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return D.minhash_lsh_pairs(docs, threshold=0.6)
+
+
+def _dedup_simhash(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_pairs(docs, max_hamming=3)
+
+
+_ANN_N_PROBES = 40
+
+
+def _ann_top1(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _ANN_N_PROBES)
+    out = SIM.cosine_topk(emb, probes, k=1)
+    return out.select("probe_id", "neighbor_id")
+
+
+_ANN_TOP1_SQL = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS p FROM embeddings
+  WHERE vec_id < {_ANN_N_PROBES}
+), corpus AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c FROM embeddings
+), flat AS (
+  SELECT pr.probe_id, co.neighbor_id,
+         list_sum(list_transform(list_zip(pr.p, co.c), z -> z[1] * z[2])) /
+         (sqrt(list_sum(list_transform(pr.p, x -> x * x))) *
+          sqrt(list_sum(list_transform(co.c, x -> x * x)))) AS score
+  FROM probes pr CROSS JOIN corpus co
+  WHERE pr.probe_id <> co.neighbor_id
+), ranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY round(score, 6) DESC, neighbor_id) AS rn
+  FROM flat
+)
+SELECT probe_id, neighbor_id FROM ranked WHERE rn = 1
+"""
+
+
+def _ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _ANN_N_PROBES)
+    return SIM.lsh_ann_topk(emb, probes, k=1).select("probe_id", "neighbor_id")
+
+
+def _text_quality(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return TS.with_quality(docs).select(
+        "doc_id", "n_tokens", "distinct_ratio_bp", "stop_ratio_bp", "quality_bp"
+    )
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         CAST(len(list_filter(toks, x -> x IN ({", ".join(repr(s) for s in TS.STOPWORDS)}))) AS DOUBLE) AS ns,
+         list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) AS sl
+  FROM t
+)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       CAST(floor(10000.0 * nd / n) AS BIGINT) AS distinct_ratio_bp,
+       CAST(floor(10000.0 * ns / n) AS BIGINT) AS stop_ratio_bp,
+       CAST(floor(5000.0 * nd / n) AS BIGINT)
+         + CAST(floor(3000.0 * (n - ns) / n) AS BIGINT)
+         + least(CAST(floor(250.0 * sl / n) AS BIGINT), 2000) AS quality_bp
+FROM feats
+"""
+
+
+def _text_langid(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return TS.with_langid(docs).select("doc_id", "lang_pred")
+
+
+def _langid_sql() -> str:
+    cnt = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in TS.LANG_MARKERS.items()
+    }
+    langs = sorted(cnt)
+    m = f"greatest({', '.join(cnt[lang] for lang in langs)})"
+    case = f"CASE WHEN {m} = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN {cnt[lang]} = {m} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, {case} AS lang_pred FROM t
+"""
+
+
+def _text_token_count(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        TS.with_token_count(docs)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+_TEXT_TOKEN_COUNT_SQL = """
+SELECT lang,
+       CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def _doc_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return TS.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# ===========================================================================
+# contract surface
+# ===========================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_local_supplier": _q5,
+        "join_broadcast_enrich": _join_broadcast,
+        "semi_join": _semi_join,
+        "anti_join": _anti_join,
+        "window_topk_per_group": _window_topk,
+        "window_running_sum": _window_running,
+        "window_lag_lead": _window_lag_lead,
+        "agg_rollup": _rollup,
+        "agg_cube": _cube,
+        "agg_grouping_sets": _grouping_sets,
+        "distinct_agg": _distinct_agg,
+        "topk_global": _topk_global,
+        "set_intersect": _set_intersect,
+        "set_except": _set_except,
+        "string_funcs": _string_funcs,
+        "json_extract": _json_extract,
+        "time_bucket_agg": _time_bucket,
+        "sessionize_events": _sessionize_q,
+        "asof_join_events": _asof_q,
+        "range_join_prior_events": _range_join,
+        "pivot_status_by_priority": _pivot_status,
+        "approx_aggs": _approx_aggs,
+        "group_assembly": _group_assembly,
+        # KG
+        "kg_extract_mentions": _kg_extract_mentions,
+        "kg_cooccurrence": _kg_cooccurrence,
+        "kg_connected_components": _kg_connected_components,
+        "kg_pipeline_triples": _kg_pipeline_triples,
+        # dedup / similarity / text
+        "dedup_exact": _dedup_exact,
+        "dedup_tokenset": _dedup_tokenset,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "ann_cosine_top1": _ann_top1,
+        "ann_lsh_top1": _ann_lsh,
+        "text_quality": _text_quality,
+        "text_langid": _text_langid,
+        "text_token_count": _text_token_count,
+        "doc_fingerprint": _doc_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_local_supplier": _Q5_SQL,
+        "join_broadcast_enrich": _JOIN_BROADCAST_SQL,
+        "semi_join": _SEMI_JOIN_SQL,
+        "anti_join": _ANTI_JOIN_SQL,
+        "window_topk_per_group": _WINDOW_TOPK_SQL,
+        "window_running_sum": _WINDOW_RUNNING_SQL,
+        "window_lag_lead": _WINDOW_LAG_LEAD_SQL,
+        "agg_rollup": _ROLLUP_SQL,
+        "agg_cube": _CUBE_SQL,
+        "agg_grouping_sets": _GROUPING_SETS_SQL,
+        "distinct_agg": _DISTINCT_AGG_SQL,
+        "topk_global": _TOPK_GLOBAL_SQL,
+        "set_intersect": _SET_INTERSECT_SQL,
+        "set_except": _SET_EXCEPT_SQL,
+        "string_funcs": _STRING_FUNCS_SQL,
+        "json_extract": _JSON_EXTRACT_SQL,
+        "time_bucket_agg": _TIME_BUCKET_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
+        "asof_join_events": _ASOF_SQL,
+        "range_join_prior_events": _RANGE_JOIN_SQL,
+        "pivot_status_by_priority": _PIVOT_SQL,
+        # approx_aggs: sketch-based (HLL / KLL) — engine-specific by
+        # nature; exactness bounds asserted in pytest instead.
+        "group_assembly": _GROUP_ASSEMBLY_SQL,
+        "kg_extract_mentions": _KG_EXTRACT_SQL,
+        "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
+        "kg_connected_components": _KG_CC_SQL,
+        # kg_pipeline_triples: not SQL-expressible (pandas-UDF extraction
+        # + iterative CC); pytest holds the P/R≥0.95 parity gate instead.
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_tokenset": _DEDUP_TOKENSET_SQL,
+        "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+        # dedup_minhash_lsh / dedup_simhash: signature families are
+        # engine-internal (crc32 minhash / simhash); verified in pytest
+        # against exact-jaccard / hamming ground truth.
+        "ann_cosine_top1": _ANN_TOP1_SQL,
+        # ann_lsh_top1: approximate by design; recall vs exact measured
+        # in pytest.
+        "text_quality": _TEXT_QUALITY_SQL,
+        "text_langid": _langid_sql(),
+        "text_token_count": _TEXT_TOKEN_COUNT_SQL,
+        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+    }

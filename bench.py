@@ -1,0 +1,144 @@
+"""Benchmark harness (driver-run per round).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Also times the full KG pipeline (extract → link → canonicalize) over
+a pre-generated synthetic transcript corpus (generation excluded from
+timing) and reports turns/sec + triples/sec in the JSON extras.
+
+Execution is forced with the noop sink (full plan, no driver
+collect).  Two-parallelism scaling evidence lives in
+scripts/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from lexicator_spark import synth  # noqa: E402
+from lexicator_spark.operators.canonicalize import (  # noqa: E402
+    canonical_of_triples,
+    connected_components,
+)
+from lexicator_spark.operators.extract import extract_triples, split_rejects  # noqa: E402
+from lexicator_spark.operators.link import build_catalog, link_mentions  # noqa: E402
+from lexicator_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_running_sum",
+    "window_topk_per_group",
+    "time_bucket_agg",
+    "asof_join_events",
+    "kg_extract_mentions",
+    "kg_connected_components",
+    "dedup_tokenset",
+    "dedup_minhash_lsh",
+    "ann_cosine_top1",
+    "text_quality",
+]
+
+KG_N_CONVS = int(os.environ.get("BENCH_KG_CONVS", "300000"))  # ~1M turns
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_kg_pipeline(spark, corpus_path: str) -> dict:
+    turns = spark.read.parquet(corpus_path)
+    n_turns = turns.count()
+    t0 = time.monotonic()
+    # stage boundaries materialized (localCheckpoint), mirroring the
+    # real pipeline's per-stage Iceberg/parquet writes — downstream
+    # branches must not recompute extraction
+    triples, _ = split_rejects(extract_triples(turns))
+    triples = triples.localCheckpoint(eager=True)
+    same_as = link_mentions(triples, build_catalog(spark)).localCheckpoint(eager=True)
+    assignments = connected_components(
+        same_as.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    )
+    canonical = canonical_of_triples(assignments)
+    all_triples = triples.unionByName(same_as).unionByName(canonical)
+    n_triples = all_triples.count()
+    wall = time.monotonic() - t0
+    return {
+        "kg_pipeline_sec": round(wall, 3),
+        "kg_n_turns": n_turns,
+        "kg_n_triples": n_triples,
+        "kg_turns_per_sec": round(n_turns / wall, 1),
+        "kg_triples_per_sec": round(n_triples / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(
+        master=f"local[{cpus}]", app_name="bench", shuffle_partitions=cpus
+    )
+
+    # pre-generate the KG bench corpus outside the timed section
+    corpus_path = os.environ.get(
+        "BENCH_KG_CORPUS", f"/tmp/bench_kg_corpus_{KG_N_CONVS}"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        shutil.rmtree(corpus_path, ignore_errors=True)
+        synth.write_corpus_parquet(spark, corpus_path, n_convs=KG_N_CONVS)
+
+    # JVM/Arrow warm-up (not timed)
+    _force(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000))
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    kg = run_kg_pipeline(spark, corpus_path)
+    timings["kg_pipeline"] = kg["kg_pipeline_sec"]
+
+    # both extraction impls, for the native-vs-pandas tradeoff record
+    big_turns = spark.read.parquet(corpus_path)
+    for impl in ("native", "pandas"):
+        t0 = time.monotonic()
+        _force(extract_triples(big_turns, impl=impl))
+        timings[f"kg_extract_{impl}"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "kg": kg,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -43,11 +43,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+    # no distinct here: the consumer (_small_star) re-orients and
+    # dedups anyway — saves one full shuffle per round
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -69,27 +70,74 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return moved.union(kept).distinct()
 
 
+def _driver_union_find(spark, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Bounded driver-side finisher: classic union-find with min-node
+    canonical labels.  Only ever invoked on an edge set below the
+    explicit threshold — memory is bounded and known up front."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min-label union keeps the canonical deterministic
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+
+    rows = sorted((node, find(node)) for node in parent)
+    return spark.createDataFrame(rows, "node string, comp string")
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, use_checkpoint: bool = True
+    edges: DataFrame,
+    max_iter: int = 25,
+    use_checkpoint: bool = True,
+    driver_finish_threshold: int = 50_000,
 ) -> DataFrame:
     """edges(u string, v string) → assignments(node string, comp string)
     where ``comp`` is the lexicographic min node of the component.
     Nodes only appear if they occur in an edge (callers union isolated
-    nodes as self-edges if needed)."""
+    nodes as self-edges if needed).
+
+    Hybrid execution: large-star/small-star rounds shrink the edge set
+    monotonically; once it fits under ``driver_finish_threshold`` (an
+    explicit, bounded collect) the tail rounds — which would each cost
+    full scheduling latency for almost no data — finish as driver-side
+    union-find.  Set the threshold to 0 to force the fully distributed
+    fixpoint (tests exercise both paths)."""
+    spark = edges.sparkSession
     cur = (
         edges.select(F.col("u").cast("string"), F.col("v").cast("string"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    prev_fp = None
+    fp = _edge_fingerprint(cur)
     for _ in range(max_iter):
+        if fp[0] <= driver_finish_threshold:
+            # LSSS preserves connectivity of the live edge set every
+            # round, so union-find over the current edges yields the
+            # same components as running the fixpoint to completion
+            # (asserted equal in tests).
+            return _driver_union_find(spark, [(r.u, r.v) for r in cur.collect()])
+        # right-size parallelism to the live edge count: running wide
+        # shuffles over a few thousand edges is pure scheduling
+        # overhead.  ~200k edges per partition keeps tasks meaningful.
+        n_parts = max(1, min(cur.rdd.getNumPartitions(), fp[0] // 200_000 + 1))
+        if n_parts < cur.rdd.getNumPartitions():
+            cur = cur.repartition(n_parts)
         cur = _small_star(_large_star(cur))
         if use_checkpoint:
             cur = cur.localCheckpoint(eager=True)
-        fp = _edge_fingerprint(cur)
-        if fp == prev_fp:
+        new_fp = _edge_fingerprint(cur)
+        if new_fp == fp:
             break
-        prev_fp = fp
+        fp = new_fp
     # at fixpoint every edge is (node, root)
     assignments = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     roots = cur.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()

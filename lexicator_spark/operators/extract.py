@@ -53,24 +53,28 @@ def _text_rule_hits(texts: pd.Series) -> pd.Series:
     out = []
     for text in texts:
         hits: list[tuple[str, str, float]] = []
+        seen: set[tuple[str, str]] = set()
+
+        def add(pred: str, obj: str, conf: float) -> None:
+            if (pred, obj) not in seen:
+                seen.add((pred, obj))
+                hits.append((pred, obj, conf))
+
         try:
             if text:
                 for m in rules.MENTION_RE.findall(text):
-                    hits.append(
-                        (rules.PRED_MENTIONS, rules.normalize_surface(m), 1.0)
-                    )
+                    add(rules.PRED_MENTIONS, rules.normalize_surface(m), 1.0)
                 for m in rules.WIKILINK_RE.findall(text):
-                    hits.append(
-                        (rules.PRED_MENTIONS, rules.normalize_surface(m), 0.8)
-                    )
+                    add(rules.PRED_MENTIONS, rules.normalize_surface(m), 0.8)
                 for m in rules.DEPENDS_RE.findall(text):
                     a, b = rules.DEPENDS_SPLIT.split(m, 1)
-                    hits.append(
-                        (rules.PRED_DEPENDS_ON + "\x00" + rules.normalize_surface(a),
-                         rules.normalize_surface(b), 1.0)
+                    add(
+                        rules.PRED_DEPENDS_ON + "\x00" + rules.normalize_surface(a),
+                        rules.normalize_surface(b),
+                        1.0,
                     )
                 for name, _params in rules.TEMPLATE_RE.findall(text):
-                    hits.append((rules.PRED_INVOKES, name, 1.0))
+                    add(rules.PRED_INVOKES, name, 1.0)
         except Exception as exc:  # error channel, never throw in a UDF
             hits.append(("_error", f"{type(exc).__name__}: {exc}", 0.0))
         out.append(hits)
@@ -80,14 +84,25 @@ def _text_rule_hits(texts: pd.Series) -> pd.Series:
 _text_rule_udf = F.pandas_udf(_text_rule_hits, _RULE_HIT)
 
 
-def extract_triples(turns: DataFrame, impl: str = "pandas") -> DataFrame:
+def extract_triples(turns: DataFrame, impl: str = "native") -> DataFrame:
     """turns(conv_id, turn_idx, role, text, tool, ts) → triples
     (subj, pred, obj, conf, conv_id, turn_idx, extracted_at).
 
-    ``impl='pandas'`` (default, Arrow-batched UDF) or ``'native'``
-    (pure Catalyst regexp functions, JVM-side) — equal output, the
-    native path exists so the 100 TB deployment can stay entirely in
-    whole-stage codegen if profiling favors it.
+    Two equal-output implementations (equality asserted in
+    tests/test_extract.py):
+
+    - ``'native'`` (default): pure Catalyst regexp functions — stays
+      inside whole-stage codegen, zero JVM↔Python transfer.  Chosen
+      as default after measurement: on a 10^6-turn corpus it is both
+      faster and scales with cores, while the pandas path anti-scales
+      under local-mode oversubscription (32 JVM task threads + 32
+      Python workers on 32 cores); see BENCH/BASELINE.md.
+    - ``'pandas'``: Arrow-batched pandas UDF (Series → Series of
+      array<struct>).  The extensibility surface for rules that
+      regexes can't express (per input_hint every Python path is
+      vectorized/Arrow — no row-at-a-time ``F.udf`` anywhere).  On a
+      real cluster give Python workers their own cores
+      (``spark.task.cpus``) before defaulting to this path.
     """
     turns = turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     uri = F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
@@ -160,52 +175,67 @@ def extract_triples(turns: DataFrame, impl: str = "pandas") -> DataFrame:
         )
     )
 
-    out = uses_tool.unionByName(replies).unionByName(text_triples)
-    # idempotency / dedup (SURVEY.md §2 #10) — a payload planted twice
-    # in one turn is one fact
-    return out.dropDuplicates(["subj", "pred", "obj", "conv_id", "turn_idx"])
+    # Dedup (SURVEY.md §2 #10): duplicate facts can ONLY arise inside
+    # one turn's hits array (the three branches are disjoint by pred;
+    # uses_tool/replies_to emit one row per turn by construction), so
+    # dedup is a per-row array filter — no global shuffle.  First
+    # occurrence wins (exact-alias conf=1.0 precedes wikilink 0.8 in
+    # the concat order), which keeps conf deterministic.
+    return uses_tool.unionByName(replies).unionByName(text_triples)
 
 
 def _native_text_hits(turns: DataFrame) -> DataFrame:
     """Pure-Catalyst text rules: JVM regexp_extract_all inside
     whole-stage codegen.  Produces the same ``hits`` array column as
-    the pandas UDF (verified equal in tests/test_extract.py)."""
+    the pandas UDF (verified equal in tests/test_extract.py).
+
+    Per-row dedup is done with ``array_distinct`` on the normalized
+    string arrays (binary-comparable, no lambda interpretation) and
+    ``array_except`` to drop wikilink surfaces already found as exact
+    aliases — max-conf semantics, matching the pandas path's
+    first-occurrence-wins ordering."""
     norm = lambda c: F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
 
+    def hit(pred_col, obj_col, conf: float):
+        return F.struct(
+            pred_col.alias("pred"), obj_col.alias("obj"), F.lit(conf).alias("conf")
+        )
+
+    exact = F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(F.col("text"), F.lit(rules.MENTION_PATTERN), F.lit(0)),
+            norm,
+        )
+    )
+    wiki = F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(F.col("text"), F.lit(rules.WIKILINK_PATTERN), F.lit(1)),
+            norm,
+        )
+    )
     mention = F.transform(
-        F.regexp_extract_all(F.col("text"), F.lit(rules.MENTION_PATTERN), F.lit(0)),
-        lambda m: F.struct(
-            F.lit(rules.PRED_MENTIONS).alias("pred"),
-            norm(m).alias("obj"),
-            F.lit(1.0).alias("conf"),
-        ),
+        exact, lambda o: hit(F.lit(rules.PRED_MENTIONS), o, 1.0)
     )
     wikilink = F.transform(
-        F.regexp_extract_all(F.col("text"), F.lit(rules.WIKILINK_PATTERN), F.lit(1)),
-        lambda m: F.struct(
-            F.lit(rules.PRED_MENTIONS).alias("pred"),
-            norm(m).alias("obj"),
-            F.lit(0.8).alias("conf"),
-        ),
+        F.array_except(wiki, exact), lambda o: hit(F.lit(rules.PRED_MENTIONS), o, 0.8)
     )
-    depends = F.transform(
+    # outer distinct: raw variants can normalize to the same pair
+    depends = F.array_distinct(F.transform(
         F.regexp_extract_all(F.col("text"), F.lit(rules.DEPENDS_PATTERN), F.lit(0)),
-        lambda m: F.struct(
+        lambda m: hit(
             F.concat(
                 F.lit(rules.PRED_DEPENDS_ON + "\x00"),
                 norm(F.regexp_extract(m, "(?i)^(.*?) depends on ", 1)),
-            ).alias("pred"),
-            norm(F.regexp_extract(m, "(?i) depends on (.*)$", 1)).alias("obj"),
-            F.lit(1.0).alias("conf"),
+            ),
+            norm(F.regexp_extract(m, "(?i) depends on (.*)$", 1)),
+            1.0,
         ),
-    )
+    ))
     invokes = F.transform(
-        F.regexp_extract_all(F.col("text"), F.lit(rules.TEMPLATE_PATTERN), F.lit(1)),
-        lambda m: F.struct(
-            F.lit(rules.PRED_INVOKES).alias("pred"),
-            m.alias("obj"),
-            F.lit(1.0).alias("conf"),
+        F.array_distinct(
+            F.regexp_extract_all(F.col("text"), F.lit(rules.TEMPLATE_PATTERN), F.lit(1))
         ),
+        lambda o: hit(F.lit(rules.PRED_INVOKES), o, 1.0),
     )
     return turns.withColumn(
         "hits", F.concat(mention, wikilink, depends, invokes)

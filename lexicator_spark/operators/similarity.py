@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Probes are collected and broadcast (bounded set), the corpus side
+  streams: one narrow pass over the big table + a per-probe top-k
+  window.  Dot products run JVM-side via ``zip_with``+``aggregate``
+  higher-order functions (whole-stage codegen, no Python).
+- ``lsh_ann_topk``: the scale path — random-hyperplane (signed
+  projection) LSH buckets; candidates only within matching buckets,
+  then exact rerank.  Hyperplanes are seeded numpy, shipped as a
+  literal array column (deterministic across runs/cluster sizes).
+
+At 100 TB the brute-force path is a deliberate full scan (still
+embarrassingly parallel: no shuffle until the final per-probe top-k
+of candidate rows); the LSH path reads only matching buckets when the
+corpus is written bucketed by ``bucket``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """For each probe vector: top-k nearest corpus vectors by cosine.
+    Output: (probe_id, neighbor_id, score) — score rounded so results
+    are stable across summation orders / engines.  Self-matches are
+    excluded."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("p_vec"), F.col("c_vec"))
+                / (_norm(F.col("p_vec")) * _norm(F.col("c_vec"))),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "score", F.col("rn").alias("rank"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    n_tables: int,
+    bits_per_table: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table sign-bit LSH: one row per (row, table) with bucket
+    = (table_id, sign bits of that table's hyperplanes).  Pure
+    Catalyst — each bit is one fold over the array column.  At scale
+    the exploded table is written bucketed by ``bucket`` so probes
+    read only matching buckets."""
+    buckets = []
+    for t in range(n_tables):
+        code = F.lit(t).cast("long") * (1 << bits_per_table)
+        for i in range(bits_per_table):
+            plane = planes[t * bits_per_table + i]
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+            s = _dot(F.col(vec_col), lit_plane)
+            code = code + F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        buckets.append(code)
+    return df.withColumn("bucket", F.explode(F.array(*buckets)))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 1,
+    n_tables: int = 24,
+    bits_per_table: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share any LSH table bucket, exact
+    cosine rerank inside.  Recall vs cosine_topk measured in tests;
+    more tables → higher recall, more candidates (classic L·(p^b)
+    tradeoff)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_tables * bits_per_table, seed)
+    c = with_lsh_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        planes, n_tables, bits_per_table, "c_vec",
+    )
+    p = with_lsh_buckets(
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")),
+        planes, n_tables, bits_per_table, "p_vec",
+    )
+    cand = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "score",
+        F.round(
+            _dot(F.col("p_vec"), F.col("c_vec"))
+            / (_norm(F.col("p_vec")) * _norm(F.col("c_vec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "score", F.col("rn").alias("rank"))
+    )

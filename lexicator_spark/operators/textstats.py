@@ -1,0 +1,93 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All pure Catalyst (string/array built-ins) so they run inside
+whole-stage codegen at 100 TB — no Python in these paths.  Each has
+an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql`` (DuckDB),
+which pins the semantics engine-independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
+
+# tiny marker vocabularies for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "de"],
+}
+
+
+def _toks(col):
+    return F.filter(F.split(F.lower(col), "\\s+"), lambda t: t != F.lit(""))
+
+
+def with_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("n_tokens", F.size(_toks(F.col(text_col))))
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features + combined score, all emitted as integer
+    basis points (bp = value·10⁴ floored) so results are bit-stable
+    across engines: ratios are single IEEE divisions of exact integer
+    counts, and floor (unlike round) has no half-way tie to disagree
+    on.
+
+    quality_bp = floor(5000·n_distinct/n) + floor(3000·(n−n_stop)/n)
+               + least(floor(250·sum_tok_len/n), 2000)
+    (≙ 0.5·distinct_ratio + 0.3·(1−stop_ratio)
+       + 0.2·min(mean_tok_len/8, 1), in bp)"""
+    toks = _toks(F.col(text_col))
+    n = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.withColumn("n_tokens", F.size(toks))
+        .withColumn("distinct_ratio_bp", F.floor(10000.0 * n_distinct / n))
+        .withColumn("stop_ratio_bp", F.floor(10000.0 * n_stop / n))
+        .withColumn("mean_tok_len_c", F.floor(100.0 * sum_len / n))
+        .withColumn(
+            "quality_bp",
+            F.floor(5000.0 * n_distinct / n)
+            + F.floor(3000.0 * (n - n_stop) / n)
+            + F.least(F.floor(250.0 * sum_len / n), F.lit(2000).cast("bigint")),
+        )
+    )
+
+
+def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language id: language with the highest marker-word
+    hit count; zero hits → 'und'.  Deterministic tie-break: first
+    language in alphabetical code order (de < en < es < fr) wins."""
+    toks = _toks(F.col(text_col))
+    counts = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(counts)  # alphabetical deterministic tie-break
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for lang in langs:
+        cond = counts[lang] > best_n
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(cond, counts[lang]).otherwise(best_n)
+    # evaluate in order: fold left so earlier (alphabetical) wins ties
+    return docs.withColumn("lang_pred", best_lang)
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stable content fingerprint: md5 over the normalized token
+    stream (lowercase, whitespace-collapsed) — dedup/idempotency key
+    analogous to lexicator's unchanged-hash skip (SURVEY.md §2 #10)."""
+    normalized = F.concat_ws(" ", _toks(F.col(text_col)))
+    return docs.withColumn("fingerprint", F.md5(normalized))

@@ -71,7 +71,7 @@ def run_pipeline(
     turns: DataFrame,
     out_root: str,
     resume: bool = True,
-    impl: str = "pandas",
+    impl: str = "native",
     n_buckets: int = sio.DEFAULT_BUCKETS,
 ) -> PipelineResult:
     """Run (or resume) the full KG-construction pipeline.

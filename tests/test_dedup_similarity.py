@@ -1,0 +1,84 @@
+"""Quality gates for the approximate operators: MinHash-LSH recall vs
+exact Jaccard ground truth, SimHash Hamming verification, LSH-ANN
+recall vs brute-force cosine (SURVEY.md §5 item 2 analog for the
+training-data ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lexicator_spark.operators import dedup as D
+from lexicator_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=200):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < n)
+    )
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    """Every LSH-surfaced pair is verified by exact Jaccard (precision
+    1.0 by construction); recall vs all-pairs exact Jaccard ≥ 0.7 at
+    threshold 0.7 (32 hashes / 8 bands ⇒ ~97% collision prob at j=0.7)."""
+    docs = _docs(spark, 150)
+    truth = {
+        (r.a, r.b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.7, max_token_df=10**9).collect()
+    }
+    got = {(r.a, r.b) for r in D.minhash_lsh_pairs(docs, threshold=0.7).collect()}
+    assert got <= truth or all(pair in truth for pair in got), "precision must be 1.0"
+    if truth:
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.7, f"LSH recall {recall:.3f} < 0.7 ({len(truth)} true pairs)"
+
+
+def test_simhash_pairs_verified_by_hamming(spark):
+    docs = _docs(spark, 200)
+    pairs = D.simhash_pairs(docs, max_hamming=3).collect()
+    assert all(0 <= r.hamming <= 3 for r in pairs)
+    # simhash of identical text is identical → hamming 0 for self-dup docs
+    two = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    dup = D.simhash_pairs(two, max_hamming=0).collect()
+    assert len(dup) == 1 and dup[0].hamming == 0
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    out = {(r.keep_id, r.n_copies) for r in D.exact_dedup(docs).collect()}
+    assert out == {(1, 3)}
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in SIM.cosine_topk(emb, probes, k=1).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in SIM.lsh_ann_topk(emb, probes, k=1).collect()
+    }
+    hits = len(exact & approx)
+    assert hits / len(exact) >= 0.5, f"ANN top-1 recall {hits}/{len(exact)}"
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = SIM.cosine_topk(emb, emb.filter("vec_id = 1"), k=2).collect()
+    by_rank = {r.rank: (r.neighbor_id, r.score) for r in out}
+    assert by_rank[1] == (2, 1.0)
+    assert by_rank[2] == (3, 0.0)

@@ -1,0 +1,69 @@
+"""Driver-contract parity: every queries() entry with an oracle_sql()
+twin must match DuckDB exactly at sf0.001 (the driver re-checks at
+sf0.01; scripts/check_oracle.py runs either)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from scripts.check_oracle import compare, duck_con
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_matches_oracle(name, spark, con):
+    ok, msg = compare(name, spark, con, SF_DIR)
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["term", "lang_pred", "n_mentions", "n_docs"]
+
+
+def test_every_query_has_oracle_or_reason(spark):
+    """Every queries() key either has an oracle or is one of the
+    documented non-SQL-expressible ops."""
+    qs = set(entrymod.queries())
+    os_ = set(entrymod.oracle_sql())
+    assert os_ <= qs
+    rows_only = qs - os_
+    assert rows_only == {
+        "kg_pipeline_triples",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_lsh_top1",
+        "approx_aggs",
+    }
+
+
+def test_approx_aggs_within_bounds(spark):
+    """Sketch outputs have no SQL oracle; assert accuracy bounds vs
+    exact values instead."""
+    import duckdb
+
+    got = {
+        r.l_returnflag: r
+        for r in entrymod.queries()["approx_aggs"](spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""SELECT l_returnflag, count(DISTINCT l_partkey) AS d,
+                   median(l_extendedprice) AS p50
+            FROM read_parquet('{SF_DIR}/lineitem.parquet') GROUP BY 1"""
+    ).fetchall()
+    for flag, d, p50 in exact:
+        r = got[flag]
+        assert abs(r.approx_parts - d) / d < 0.1, (flag, r.approx_parts, d)
+        assert abs(r.p50_price - p50) / p50 < 0.1, (flag, r.p50_price, p50)

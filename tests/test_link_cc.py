@@ -35,12 +35,34 @@ def test_link_exact_alias_links_to_own_entity(spark):
     assert ("duckdb", rules.PRED_SAME_AS, "Q_duckdb") in links
 
 
-def _cc(spark, pairs):
+def _cc(spark, pairs, **kw):
     edges = spark.createDataFrame(pairs, "u string, v string")
     return {
         (r.node, r.comp)
-        for r in connected_components(edges).collect()
+        for r in connected_components(edges, **kw).collect()
     }
+
+
+def test_cc_distributed_path_equals_hybrid(spark):
+    """Force the fully distributed LSSS fixpoint (threshold=0) and
+    assert it matches the hybrid driver-finish result."""
+    import random
+
+    rng = random.Random(31)
+    nodes = [f"n{i:03d}" for i in range(150)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(140)]
+    pairs = [(u, v) for u, v in pairs if u != v]
+    hybrid = _cc(spark, pairs)
+    distributed = _cc(spark, pairs, driver_finish_threshold=0)
+    assert hybrid == distributed
+
+
+def test_cc_distributed_on_long_chain(spark):
+    """Adversarial diameter: a 300-node chain through the distributed
+    fixpoint only."""
+    pairs = [(f"c{i:04d}", f"c{i+1:04d}") for i in range(300)]
+    got = _cc(spark, pairs, driver_finish_threshold=0)
+    assert got == {(f"c{i:04d}", "c0000") for i in range(301)}
 
 
 def test_cc_chain(spark):

@@ -1,0 +1,84 @@
+"""Physical-plan shape tests: the scale properties we rely on must be
+visible in explain() output, not assumed — predicate pushdown reaches
+the parquet scan, small dimensions broadcast, column pruning holds,
+and the native extract path stays inside whole-stage codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from lexicator_spark import synth
+from lexicator_spark.operators.extract import extract_triples
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reads_only_projected_columns(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    plan = _plan(df)
+    # ReadSchema must contain only the two referenced columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    plan = _plan(entrymod.queries()["q3_shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_link_stage_broadcasts_catalog(spark):
+    from lexicator_spark.operators.extract import extract_triples
+    from lexicator_spark.operators.link import build_catalog, link_mentions
+
+    corpus = synth.make_corpus(n_convs=5, seed=1)
+    triples = extract_triples(synth.corpus_df(spark, corpus))
+    plan = _plan(link_mentions(triples, build_catalog(spark)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_native_extract_has_no_python_eval(spark, tmp_path):
+    corpus = synth.make_corpus(n_convs=5, seed=1)
+    path = str(tmp_path / "turns")
+    synth.corpus_df(spark, corpus).write.parquet(path)
+    df = spark.read.parquet(path)  # real source: avoids constant folding
+    plan_native = _plan(extract_triples(df, impl="native"))
+    # JVM-only: no Python evaluation nodes anywhere in the native plan
+    assert "ArrowEvalPython" not in plan_native and "BatchEvalPython" not in plan_native
+    plan_pandas = _plan(extract_triples(df, impl="pandas"))
+    # the pandas path must be Arrow-vectorized, never row-at-a-time
+    assert "ArrowEvalPython" in plan_pandas
+    assert "BatchEvalPython" not in plan_pandas
+
+
+def test_partition_pruning_on_stage_table(spark, tmp_path):
+    """Salted-hash-partitioned stage tables prune by p_hash."""
+    from lexicator_spark.sources import io as sio
+
+    corpus = synth.make_corpus(n_convs=30, seed=6)
+    df = extract_triples(synth.corpus_df(spark, corpus))
+    loc = str(tmp_path / "triples")
+    sio.write_table(df, loc, partition_key="conv_id", n_buckets=8)
+    raw = spark.read.parquet(loc)
+    pruned = raw.filter(F.col("p_hash") == 3)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "p_hash" in plan
