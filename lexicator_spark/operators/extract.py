@@ -25,6 +25,8 @@ executor (module import), not per batch.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -73,8 +75,11 @@ def _text_rule_hits(texts: pd.Series) -> pd.Series:
                         rules.normalize_surface(b),
                         1.0,
                     )
-                for name, _params in rules.TEMPLATE_RE.findall(text):
+                for full in re.findall(rules.TEMPLATE_FULL_PATTERN, text):
+                    name, params = rules.parse_template(full)
                     add(rules.PRED_INVOKES, name, 1.0)
+                    for k, v in params:
+                        add(rules.PRED_TPL_PARAM, f"{name}|{k}={v}", 1.0)
         except Exception as exc:  # error channel, never throw in a UDF
             hits.append(("_error", f"{type(exc).__name__}: {exc}", 0.0))
         out.append(hits)
@@ -237,8 +242,44 @@ def _native_text_hits(turns: DataFrame) -> DataFrame:
         ),
         lambda o: hit(F.lit(rules.PRED_INVOKES), o, 1.0),
     )
+
+    # template params (TemplateParser's param-map normalization): for
+    # each full {{name|k=v|...}} match emit one tpl_param hit per key,
+    # later duplicates of a key overriding earlier (wiki semantics —
+    # the keep-last filter runs on tiny per-template arrays only).
+    def tpl_params(full):
+        parts = F.split(F.substring(full, 3, F.length(full) - 4), "\\|")
+        name = F.element_at(parts, 1)
+        pairs = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+        keep_last = F.filter(
+            pairs,
+            lambda p, i: ~F.exists(
+                F.slice(
+                    pairs, i + 2, F.greatest(F.size(pairs) - i - 1, F.lit(0))
+                ),
+                lambda q: F.substring_index(q, "=", 1)
+                == F.substring_index(p, "=", 1),
+            ),
+        )
+        return F.transform(
+            keep_last,
+            lambda p: hit(
+                F.lit(rules.PRED_TPL_PARAM), F.concat(name, F.lit("|"), p), 1.0
+            ),
+        )
+
+    params = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(rules.TEMPLATE_FULL_PATTERN), F.lit(0)
+                ),
+                tpl_params,
+            )
+        )
+    )
     return turns.withColumn(
-        "hits", F.concat(mention, wikilink, depends, invokes)
+        "hits", F.concat(mention, wikilink, depends, invokes, params)
     )
 
 

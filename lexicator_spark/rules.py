@@ -90,6 +90,23 @@ WIKILINK_RE = re.compile(WIKILINK_PATTERN)
 # lexicator/TemplateParser.py :: TemplateParser.parse_page [H name].
 TEMPLATE_PATTERN = r"\{\{([a-z_]+)((?:\|[a-z_]+=[^|{}]*)*)\}\}"
 TEMPLATE_RE = re.compile(TEMPLATE_PATTERN)
+# full-match variant for engines whose findall returns one group only
+TEMPLATE_FULL_PATTERN = r"\{\{[a-z_]+(?:\|[a-z_]+=[^|{}]*)*\}\}"
+PRED_TPL_PARAM = "tpl_param"
+
+
+def parse_template(full: str) -> tuple[str, list[tuple[str, str]]]:
+    """'{{name|k=v|k2=v2}}' → (name, [(k, v), ...]) — the param-map
+    normalization of lexicator's TemplateParser [H name/[M] internals].
+    Later duplicates of a key override earlier ones (wiki semantics)."""
+    inner = full[2:-2]
+    parts = inner.split("|")
+    name = parts[0]
+    params: dict[str, str] = {}
+    for p in parts[1:]:
+        k, _, v = p.partition("=")
+        params[k] = v
+    return name, sorted(params.items())
 
 # Surface -> canonical map (normalized), for the oracle / golden side
 # and for building the broadcast catalog DataFrame.

@@ -136,6 +136,8 @@ def make_corpus(n_convs: int = 100, seed: int = 42, shuffled: bool = True) -> Co
                 k = rng.randrange(0, 100)
                 words.append(f"{{{{{tname}|arg={k}|mode=fast}}}}")
                 golden.add((uri, rules.PRED_INVOKES, tname))
+                golden.add((uri, rules.PRED_TPL_PARAM, f"{tname}|arg={k}"))
+                golden.add((uri, rules.PRED_TPL_PARAM, f"{tname}|mode=fast"))
 
             if turn_idx > 0:
                 golden.add(

@@ -47,8 +47,13 @@ def extract_oracle(rows: list[tuple]) -> set[tuple[str, str, str]]:
                         rules.normalize_surface(b),
                     )
                 )
-            for name, _params in rules.TEMPLATE_RE.findall(text):
+            import re as _re
+
+            for full in _re.findall(rules.TEMPLATE_FULL_PATTERN, text):
+                name, params = rules.parse_template(full)
                 triples.add((uri, rules.PRED_INVOKES, name))
+                for k, v in params:
+                    triples.add((uri, rules.PRED_TPL_PARAM, f"{name}|{k}={v}"))
     return triples
 
 

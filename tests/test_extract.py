@@ -49,6 +49,22 @@ def test_extract_covers_generator_goldens(spark):
     assert not missing, f"missing planted triples: {sorted(missing)[:10]}"
 
 
+def test_template_param_parsing(spark):
+    """TemplateParser analog: params map with later-key override, both
+    impls, incl. the no-param and duplicate-key edge cases."""
+    rows = [
+        ("c0", 0, "user", "run {{search|q=abc|mode=fast|q=xyz}} and {{bash}}", None, synth.EPOCH),
+    ]
+    df = synth.corpus_df(spark, synth.Corpus(rows=rows))
+    for impl in ("pandas", "native"):
+        got = _triple_set(extract_triples(df, impl=impl))
+        assert ("c0#0", rules.PRED_INVOKES, "search") in got, impl
+        assert ("c0#0", rules.PRED_INVOKES, "bash") in got, impl
+        assert ("c0#0", rules.PRED_TPL_PARAM, "search|q=xyz") in got, impl
+        assert ("c0#0", rules.PRED_TPL_PARAM, "search|mode=fast") in got, impl
+        assert ("c0#0", rules.PRED_TPL_PARAM, "search|q=abc") not in got, impl
+
+
 def test_order_invariance(spark):
     """Shuffled input rows / different partitioning → identical triple
     set (north_rule stable-ordering invariant)."""

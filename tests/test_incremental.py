@@ -1,0 +1,59 @@
+"""Incremental refresh (RecentChanges analog) tests."""
+
+from __future__ import annotations
+
+from lexicator_spark import synth
+from lexicator_spark.operators.extract import extract_triples
+from lexicator_spark.operators.incremental import (
+    changed_conversations,
+    extract_incremental,
+    refresh_triples,
+)
+
+
+def _tset(df):
+    return {
+        (r.subj, r.pred, r.obj, r.conv_id, r.turn_idx)
+        for r in df.select("subj", "pred", "obj", "conv_id", "turn_idx").collect()
+    }
+
+
+def test_incremental_refresh_equals_full_recompute(spark):
+    full_corpus = synth.make_corpus(n_convs=50, seed=33, shuffled=False)
+    # v1 = drop the last turn of every 3rd conversation + drop every
+    # 7th conversation entirely → those convs are "changed/new" in v2
+    v1_rows = [
+        r
+        for r in full_corpus.rows
+        if not (int(r[0][1:]) % 7 == 0)
+        and not (
+            int(r[0][1:]) % 3 == 0
+            and r[1] == max(x[1] for x in full_corpus.rows if x[0] == r[0])
+        )
+    ]
+    v1 = synth.corpus_df(spark, synth.Corpus(rows=v1_rows))
+    v2 = synth.corpus_df(spark, full_corpus)
+
+    done = extract_triples(v1).localCheckpoint()
+    changed = {r.conv_id for r in changed_conversations(v2, done).collect()}
+    expected = {
+        c for c in {r[0] for r in full_corpus.rows}
+        if int(c[1:]) % 7 == 0 or int(c[1:]) % 3 == 0
+    }
+    # every truly changed conv is detected; the only extras allowed are
+    # convs with zero triples in the stage table (no frontier row →
+    # re-derived as a no-op, documented in operators/incremental.py)
+    assert expected <= changed
+    with_triples = {r.conv_id for r in done.select("conv_id").distinct().collect()}
+    assert all(c not in with_triples for c in changed - expected)
+
+    refreshed = refresh_triples(v2, done)
+    assert _tset(refreshed) == _tset(extract_triples(v2))
+
+
+def test_incremental_noop_when_nothing_changed(spark):
+    corpus = synth.make_corpus(n_convs=20, seed=5)
+    turns = synth.corpus_df(spark, corpus)
+    done = extract_triples(turns).localCheckpoint()
+    assert extract_incremental(turns, done).count() == 0
+    assert _tset(refresh_triples(turns, done)) == _tset(done)

@@ -1,0 +1,74 @@
+"""Property-based parity (SURVEY.md §5 item 4): for arbitrary small
+corpora — adversarial text mixing aliases, noisy wikilinks, template
+syntax, and junk — the distributed extraction equals the pure-Python
+oracle, independent of row order and partitioning."""
+
+from __future__ import annotations
+
+import random
+from datetime import timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lexicator_spark import rules, synth
+from lexicator_spark.operators.extract import extract_triples
+from tests import oracle
+
+_ALIASES = [a for forms in rules.ENTITY_ALIASES.values() for a in forms]
+
+_word = st.sampled_from(
+    _ALIASES
+    + synth.FILLER
+    + [
+        "[[spork]]",
+        "[[apache spank]]",
+        "{{search|q=1}}",
+        "{{bash}}",
+        "{{sql_runner|a=x|a=y}}",
+        "Spark depends on Kafka",
+        "{{not closed",
+        "}}stray",
+        "[[]]",
+        "|||",
+        "ключ",  # non-latin
+        "",
+    ]
+)
+
+_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@st.composite
+def _corpus(draw):
+    n_convs = draw(st.integers(1, 4))
+    rows = []
+    for c in range(n_convs):
+        conv_id = f"c{c:03d}"
+        n_turns = draw(st.integers(1, 5))
+        ts = synth.EPOCH
+        for t in range(n_turns):
+            ts += timedelta(seconds=draw(st.integers(1, 500)))
+            role = draw(st.sampled_from(["user", "assistant", "tool"]))
+            tool = (
+                draw(st.sampled_from(rules.TOOL_VOCAB)) if role == "tool" else None
+            )
+            rows.append((conv_id, t, role, draw(_text), tool, ts))
+    seed = draw(st.integers(0, 10_000))
+    random.Random(seed).shuffle(rows)
+    return rows
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_corpus(), n_parts=st.integers(1, 5), impl=st.sampled_from(["native", "pandas"]))
+def test_extract_equals_oracle_on_arbitrary_corpora(spark, rows, n_parts, impl):
+    df = synth.corpus_df(spark, synth.Corpus(rows=rows)).repartition(n_parts)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in extract_triples(df, impl=impl).select("subj", "pred", "obj").collect()
+    }
+    assert got == oracle.extract_oracle(rows)
