@@ -867,6 +867,19 @@ FROM documents GROUP BY lang
 """
 
 
+def _multimodal_features(spark, sf):
+    """Binary-column plumbing (image/audio/video as opaque bytes +
+    typed metadata) through Arrow mapInPandas feature extraction.
+    Deterministic synthetic media (decode step stubbed — libs absent);
+    rows-only check, determinism asserted in pytest."""
+    from lexicator_spark.operators import multimodal as MM
+
+    media = MM.synth_media(spark, n=96)
+    return MM.extract_media_features(media).select(
+        "media_id", "kind", "payload_sha", "n_bytes"
+    )
+
+
 def _doc_fingerprint(spark, sf):
     docs = _t(spark, sf, "documents")
     return TS.with_fingerprint(docs).select("doc_id", "fingerprint")
@@ -927,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _text_langid,
         "text_token_count": _text_token_count,
         "doc_fingerprint": _doc_fingerprint,
+        "multimodal_features": _multimodal_features,
     }
 
 

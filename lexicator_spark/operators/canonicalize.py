@@ -98,7 +98,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     use_checkpoint: bool = True,
-    driver_finish_threshold: int = 50_000,
+    driver_finish_threshold: int = 500_000,
 ) -> DataFrame:
     """edges(u string, v string) → assignments(node string, comp string)
     where ``comp`` is the lexicographic min node of the component.
@@ -107,7 +107,7 @@ def connected_components(
 
     Hybrid execution: large-star/small-star rounds shrink the edge set
     monotonically; once it fits under ``driver_finish_threshold`` (an
-    explicit, bounded collect) the tail rounds — which would each cost
+    explicit, bounded collect — 500k string pairs ≈ 100 MB driver RAM) the tail rounds — which would each cost
     full scheduling latency for almost no data — finish as driver-side
     union-find.  Set the threshold to 0 to force the fully distributed
     fixpoint (tests exercise both paths)."""

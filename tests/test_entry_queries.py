@@ -45,6 +45,7 @@ def test_every_query_has_oracle_or_reason(spark):
         "dedup_simhash",
         "ann_lsh_top1",
         "approx_aggs",
+        "multimodal_features",
     }
 
 
