@@ -64,6 +64,7 @@ def link_mentions(
     triples: DataFrame,
     catalog: DataFrame,
     threshold: float = rules.LINK_SCORE_THRESHOLD,
+    broadcast_catalog: bool = True,
 ) -> DataFrame:
     """mention triples → ``same_as`` triples
     (subj=surface, pred=same_as, obj=canonical_id, conf=score).
@@ -81,8 +82,13 @@ def link_mentions(
         .withColumn("shingles", _shingles(F.col("surface")))
     )
 
+    # broadcast for vocabulary-sized catalogs; for catalogs beyond the
+    # broadcast threshold (~1 GB) the identical plan runs as a shuffled
+    # join on the blocking key — first-char × length buckets distribute
+    # (tested equal in tests/test_link_cc.py)
+    cat = F.broadcast(catalog) if broadcast_catalog else catalog
     cand = surfaces.join(
-        F.broadcast(catalog), surfaces.block == catalog.cat_block, "inner"
+        cat, surfaces.block == catalog.cat_block, "inner"
     ).withColumn(
         "score",
         F.size(F.array_intersect("shingles", "cat_shingles")).cast("double")

@@ -27,6 +27,17 @@ def test_link_matches_oracle(spark):
     assert got == expected
 
 
+def test_link_shuffle_path_equals_broadcast_path(spark):
+    """The big-catalog degradation path (shuffled join on block_key)
+    must produce identical links to the broadcast path."""
+    corpus = synth.make_corpus(n_convs=50, seed=19)
+    triples = extract_triples(synth.corpus_df(spark, corpus))
+    cat = build_catalog(spark)
+    a = _tset(link_mentions(triples, cat, broadcast_catalog=True))
+    b = _tset(link_mentions(triples, cat, broadcast_catalog=False))
+    assert a == b and a
+
+
 def test_link_exact_alias_links_to_own_entity(spark):
     rows = [("c0", 0, "user", "we use Apache Spark and [[DuckDB]] here", None, synth.EPOCH)]
     df = synth.corpus_df(spark, synth.Corpus(rows=rows))
