@@ -408,7 +408,7 @@ def _json_extract(spark, sf):
 
 _JSON_EXTRACT_SQL = """
 SELECT event_type,
-       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """
@@ -489,15 +489,24 @@ FROM filled WHERE side = 1
 
 
 def _range_join(spark, sf):
+    """Range join keyed on (user_id, 5-min time bucket): the probe side
+    explodes to its bucket and the previous one, so any in-range pair
+    shares a join key and a hot user never goes quadratic — candidates
+    per error are bounded by that user's events in a 10-min span, not
+    their full history."""
     ev = _t(spark, sf, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("err_id"), F.col("user_id"), F.col("ts").alias("err_ts")
+    bucket = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(300_000_000)
     )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id"),
+        F.col("ts").alias("err_ts"),
+        F.explode(F.array(bucket - 1, bucket)).alias("bkt"),
+    )
+    cands = ev.select("user_id", F.col("ts").alias("ev_ts"), bucket.alias("bkt"))
     return (
-        errors.join(
-            ev.select("user_id", F.col("ts").alias("ev_ts")),
-            "user_id",
-        )
+        errors.join(cands, ["user_id", "bkt"])
         .filter(
             (F.col("ev_ts") < F.col("err_ts"))
             & (F.col("ev_ts") >= F.col("err_ts") - F.expr("INTERVAL 5 MINUTES"))

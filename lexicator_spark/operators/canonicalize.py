@@ -118,6 +118,7 @@ def connected_components(
         .distinct()
     )
     fp = _edge_fingerprint(cur)
+    converged = False
     for _ in range(max_iter):
         if fp[0] <= driver_finish_threshold:
             # LSSS preserves connectivity of the live edge set every
@@ -136,8 +137,18 @@ def connected_components(
             cur = cur.localCheckpoint(eager=True)
         new_fp = _edge_fingerprint(cur)
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
+    if not converged:
+        # never return unconverged labels as if they were final —
+        # LSSS converges in O(log n) rounds, so exhausting max_iter
+        # means the input (or a bug) broke the contract.
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds (live edges: {fp[0]}); raise "
+            f"max_iter or lower driver_finish_threshold"
+        )
     # at fixpoint every edge is (node, root)
     assignments = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     roots = cur.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()

@@ -30,7 +30,8 @@ from lexicator_spark import rules
 
 def _shingles(col):
     """array_distinct over character K-grams; strings shorter than K
-    yield themselves — mirrors rules.char_shingles exactly."""
+    yield themselves — mirrors rules.char_shingles exactly for
+    non-empty input (empty surfaces are filtered before linking)."""
     k = rules.SHINGLE_K
     return F.array_distinct(
         F.transform(
@@ -41,7 +42,8 @@ def _shingles(col):
 
 
 def _block_key(col):
-    """first char + len//4 bucket — mirrors rules.block_key."""
+    """first char + len//4 bucket — mirrors rules.block_key for
+    non-empty input (empty surfaces are filtered before linking)."""
     return F.concat(
         F.substring(col, 1, 1), F.floor(F.length(col) / 4).cast("int").cast("string")
     )
@@ -77,6 +79,11 @@ def link_mentions(
     surfaces = (
         triples.filter(F.col("pred") == rules.PRED_MENTIONS)
         .select(F.col("obj").alias("surface"))
+        # empty normalized surfaces are unlinkable by definition (no
+        # shingles) and are the one input where the Catalyst mirrors of
+        # rules.block_key/char_shingles would diverge from Python —
+        # drop them before the mirrors ever see one.
+        .filter(F.length(F.col("surface")) > 0)
         .distinct()
         .withColumn("block", _block_key(F.col("surface")))
         .withColumn("shingles", _shingles(F.col("surface")))
