@@ -751,13 +751,22 @@ WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - c.n_common AS DOUB
 """
 
 
+_PAIR_MAX_DOC = 1000
+
+
 def _dedup_minhash(spark, sf):
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    """Signatures are JVM-side hash aggregates and the band join
+    carries (bucket, doc_id) only; the doc cap exists because the
+    synthetic corpus is pathologically templated (~half of ALL pairs
+    have Jaccard ≥ 0.6), so uncapped pair output is quadratic in the
+    DATA — bench.py times the signature stage on the full table
+    separately."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _PAIR_MAX_DOC)
     return D.minhash_lsh_pairs(docs, threshold=0.6)
 
 
 def _dedup_simhash(spark, sf):
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _PAIR_MAX_DOC)
     return D.simhash_pairs(docs, max_hamming=3)
 
 

