@@ -806,7 +806,9 @@ SELECT probe_id, neighbor_id FROM ranked WHERE rn = 1
 def _ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < _ANN_N_PROBES)
-    return SIM.lsh_ann_topk(emb, probes, k=1).select("probe_id", "neighbor_id")
+    return SIM.lsh_ann_topk(emb, probes, k=1, dim=64).select(
+        "probe_id", "neighbor_id"
+    )
 
 
 def _text_quality(spark, sf):

@@ -92,12 +92,18 @@ def with_lsh_buckets(
     n_tables: int,
     bits_per_table: int,
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Multi-table sign-bit LSH: one row per (row, table) with bucket
     = (table_id, sign bits of that table's hyperplanes).  Pure
     Catalyst — each bit is one fold over the array column.  At scale
     the exploded table is written bucketed by ``bucket`` so probes
-    read only matching buckets."""
+    read only matching buckets.
+
+    With ``multiprobe`` (probe side only), each table additionally
+    emits the ``bits_per_table`` buckets at Hamming distance 1 from
+    the row's code — the classic multiprobe-LSH recall boost without
+    touching the corpus layout."""
     buckets = []
     for t in range(n_tables):
         code = F.lit(t).cast("long") * (1 << bits_per_table)
@@ -107,6 +113,11 @@ def with_lsh_buckets(
             s = _dot(F.col(vec_col), lit_plane)
             code = code + F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
         buckets.append(code)
+        if multiprobe:
+            # flipping a low bit never crosses the table-id prefix
+            buckets.extend(
+                code.bitwiseXOR(F.lit(1 << i)) for i in range(bits_per_table)
+            )
     return df.withColumn("bucket", F.explode(F.array(*buckets)))
 
 
@@ -119,12 +130,27 @@ def lsh_ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share any LSH table bucket, exact
     cosine rerank inside.  Recall vs cosine_topk measured in tests;
     more tables → higher recall, more candidates (classic L·(p^b)
-    tradeoff)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    tradeoff).
+
+    ``dim``: embedding dimensionality.  Pass it (or store it in table
+    metadata) — when omitted, a one-row fallback job sniffs it from
+    the corpus, which is a driver-side action you don't want inside a
+    larger plan.
+
+    ``multiprobe``: additionally probe, per table, every bucket whose
+    code differs in exactly one bit — 1+bits buckets per probe per
+    table.  The CORPUS side stays at one row per table (its layout on
+    disk is unchanged); only the small probe side fans out, which
+    buys the recall of ~7× more tables for free at 100-TB corpus
+    scale."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_tables * bits_per_table, seed)
     c = with_lsh_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
@@ -133,6 +159,7 @@ def lsh_ann_topk(
     p = with_lsh_buckets(
         probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")),
         planes, n_tables, bits_per_table, "p_vec",
+        multiprobe=multiprobe,
     )
     cand = (
         c.join(F.broadcast(p), "bucket")

@@ -10,9 +10,11 @@ is persisted as a stage table; resumability = checking the stage's
 "resumable from checkpoint with per-partition lineage + metrics").
 
 Lineage rows: (stage, rows_in, rows_out, wall_ms, n_partitions) are
-appended to ``<root>/_lineage``; checkpoint markers to
-``<root>/_checkpoints`` — both ordinary tables so a driver on any
-node can consult them (FIXTURES.md §4 schemas).
+appended to ``<root>/_lineage`` (an ordinary Spark-written table);
+checkpoint markers are tiny JSON files under ``<root>/_checkpoints``
+written through the Hadoop FileSystem of ``out_root`` — so resume
+works identically whether ``out_root`` is local disk, HDFS, or an
+object store (FIXTURES.md §4 schemas).
 """
 
 from __future__ import annotations
@@ -24,6 +26,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from lexicator_spark.sources import fsutil
 
 from lexicator_spark.operators.canonicalize import (
     canonical_of_triples,
@@ -48,14 +52,16 @@ def _ckpt_path(root: str, stage: str) -> str:
     return os.path.join(root, "_checkpoints", f"{stage}.json")
 
 
-def _mark_done(root: str, stage: str, meta: dict) -> None:
-    os.makedirs(os.path.join(root, "_checkpoints"), exist_ok=True)
-    with open(_ckpt_path(root, stage), "w") as f:
-        json.dump({"stage": stage, "status": "done", **meta}, f)
+def _mark_done(spark: SparkSession, root: str, stage: str, meta: dict) -> None:
+    fsutil.write_text(
+        spark,
+        _ckpt_path(root, stage),
+        json.dumps({"stage": stage, "status": "done", **meta}),
+    )
 
 
-def _is_done(root: str, stage: str) -> bool:
-    return os.path.exists(_ckpt_path(root, stage))
+def _is_done(spark: SparkSession, root: str, stage: str) -> bool:
+    return fsutil.exists(spark, _ckpt_path(root, stage))
 
 
 def _append_lineage(spark: SparkSession, root: str, row: dict) -> None:
@@ -86,7 +92,7 @@ def run_pipeline(
     skipped: list[str] = []
 
     def staged(name: str, in_df: DataFrame | None, fn, out_path: str, partition_key):
-        if resume and _is_done(out_root, name):
+        if resume and _is_done(spark, out_root, name):
             skipped.append(name)
             return sio.read_table(spark, out_path)
         t0 = time.monotonic()
@@ -104,7 +110,7 @@ def run_pipeline(
         }
         lineage.append(row)
         _append_lineage(spark, out_root, row)
-        _mark_done(out_root, name, {"rows_out": rows_out, "wall_ms": wall_ms})
+        _mark_done(spark, out_root, name, {"rows_out": rows_out, "wall_ms": wall_ms})
         run.append(name)
         return persisted
 

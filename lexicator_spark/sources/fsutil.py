@@ -1,0 +1,54 @@
+"""Small-file I/O through the Hadoop FileSystem API.
+
+Checkpoint markers and schema sidecars are tiny driver-written files
+that must live NEXT TO the stage tables — which on a real deployment
+means S3/HDFS/GCS, not the driver's local disk.  Python ``open()`` /
+``os.path`` silently write to the wrong place there, so every marker
+and sidecar goes through these helpers instead: they resolve the
+path's own filesystem from the active Hadoop configuration, which is
+the local FS in the sandbox and the object store on a cluster —
+same code path either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _jvm_path(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+
+
+def _fs(spark: SparkSession, path: str):
+    return _jvm_path(spark, path).getFileSystem(
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    return bool(_fs(spark, path).exists(_jvm_path(spark, path)))
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Atomic-enough small-file write (create with overwrite); parent
+    directories are created by the filesystem."""
+    out = _fs(spark, path).create(_jvm_path(spark, path), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    stream = _fs(spark, path).open(_jvm_path(spark, path))
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    return bool(_fs(spark, path).delete(_jvm_path(spark, path), recursive))

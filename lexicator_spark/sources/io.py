@@ -17,10 +17,13 @@ incremental refresh map to Iceberg snapshots when available.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from lexicator_spark.sources import fsutil
 
 DEFAULT_BUCKETS = 64
 
@@ -65,9 +68,37 @@ def write_table(
     else:
         df.write.mode(mode).parquet(location)
     # explicit schema sidecar: reads never infer (and an all-empty
-    # write — no parquet footers — still reads back as an empty table)
-    with open(os.path.join(location, "_schema.json"), "w") as f:
-        f.write(df.schema.json())
+    # write — no parquet footers — still reads back as an empty table).
+    # Written through the Hadoop FS of `location` so it lands next to
+    # the data on S3/HDFS too, not on the driver's local disk.
+    fsutil.write_text(spark, _schema_sidecar(location), df.schema.json())
+
+
+def _schema_sidecar(location: str) -> str:
+    return os.path.join(location, "_schema.json")
+
+
+def upsert_partitions(
+    df: DataFrame,
+    location: str,
+    partition_key: str = "conv_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Idempotent partition-level upsert on the parquet backend — the
+    stand-in for Iceberg ``MERGE INTO``: dynamic partition overwrite
+    rewrites ONLY the ``p_hash`` buckets present in ``df``; every
+    other bucket's files are left untouched.  Callers must therefore
+    pass complete replacement content for every bucket they touch
+    (see ``operators.incremental.refresh_triples_partitioned``)."""
+    spark = df.sparkSession
+    hashed = with_partition_hash(df, partition_key, n_buckets)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        hashed.write.mode("overwrite").partitionBy("p_hash").parquet(location)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    fsutil.write_text(spark, _schema_sidecar(location), hashed.schema.json())
 
 
 def read_table(spark: SparkSession, location: str) -> DataFrame:
@@ -76,11 +107,12 @@ def read_table(spark: SparkSession, location: str) -> DataFrame:
     from pyspark.sql import types as T
 
     reader = spark.read
-    schema_path = os.path.join(location, "_schema.json")
+    schema_path = _schema_sidecar(location)
     schema = None
-    if os.path.exists(schema_path):
-        with open(schema_path) as f:
-            schema = T.StructType.fromJson(__import__("json").loads(f.read()))
+    if fsutil.exists(spark, schema_path):
+        schema = T.StructType.fromJson(
+            json.loads(fsutil.read_text(spark, schema_path))
+        )
         reader = reader.schema(schema)
     try:
         df = reader.parquet(location)

@@ -68,6 +68,41 @@ def start_extract_stream(
     )
 
 
+def streaming_sessionize(
+    events_stream: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators.asof.sessionize``: Spark's native
+    ``session_window`` aggregation — sessions merge while consecutive
+    events are less than ``gap_minutes`` apart, close once the
+    watermark passes the session end, and state is evicted by the
+    engine (no unbounded keys).  Emits one row per closed session:
+    (by, session_start, session_end, n_events).
+
+    Boundary semantics: an event at EXACTLY ``gap_minutes`` after its
+    predecessor starts a new session here ([start, end) windows),
+    while the batch formulation keeps it (strict ``>`` gap test) —
+    equality between the two holds for corpora without exact-gap
+    timestamps (asserted in tests/test_salting_streaming_mm.py)."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+            F.col(by),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(by),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_turn_counts(turns_stream: DataFrame) -> DataFrame:
     """Watermarked sliding-window turn counts per role — late rows
     beyond 10 minutes are dropped deterministically."""

@@ -92,6 +92,8 @@ def test_minhash_signatures_deterministic_and_fixed_width(spark):
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark):
+    """Multiprobe (probe-side Hamming-1 bucket fan-out) lifts top-1
+    recall from ~0.74 to 1.0 on this corpus; gate at 0.85."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 50)
     exact = {
@@ -100,10 +102,10 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     }
     approx = {
         (r.probe_id, r.neighbor_id)
-        for r in SIM.lsh_ann_topk(emb, probes, k=1).collect()
+        for r in SIM.lsh_ann_topk(emb, probes, k=1, dim=64).collect()
     }
     hits = len(exact & approx)
-    assert hits / len(exact) >= 0.5, f"ANN top-1 recall {hits}/{len(exact)}"
+    assert hits / len(exact) >= 0.85, f"ANN top-1 recall {hits}/{len(exact)}"
 
 
 def test_cosine_topk_self_similarity(spark):

@@ -2,13 +2,17 @@
 
 from __future__ import annotations
 
+import os
+
 from lexicator_spark import synth
 from lexicator_spark.operators.extract import extract_triples
 from lexicator_spark.operators.incremental import (
     changed_conversations,
     extract_incremental,
     refresh_triples,
+    refresh_triples_partitioned,
 )
+from lexicator_spark.sources import io as sio
 
 
 def _tset(df):
@@ -49,6 +53,66 @@ def test_incremental_refresh_equals_full_recompute(spark):
 
     refreshed = refresh_triples(v2, done)
     assert _tset(refreshed) == _tset(extract_triples(v2))
+
+
+def _file_state(root):
+    """(relpath → (mtime, size)) for every parquet data file under root."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                out[os.path.relpath(p, root)] = (os.path.getmtime(p), os.path.getsize(p))
+    return out
+
+
+def test_partitioned_refresh_upserts_only_touched_buckets(spark, tmp_path):
+    """The parquet MERGE-INTO stand-in: refresh equals a full
+    recompute, buckets without changed conversations keep their exact
+    files on disk, and a refresh with no new turns rewrites nothing."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 8
+    full_corpus = synth.make_corpus(n_convs=60, seed=7, shuffled=False)
+    v1_rows = [
+        r
+        for r in full_corpus.rows
+        if not (int(r[0][1:]) % 5 == 0)
+        and not (
+            int(r[0][1:]) % 3 == 0
+            and r[1] == max(x[1] for x in full_corpus.rows if x[0] == r[0])
+        )
+    ]
+    v1 = synth.corpus_df(spark, synth.Corpus(rows=v1_rows))
+    v2 = synth.corpus_df(spark, full_corpus)
+    loc = str(tmp_path / "triples_raw")
+    sio.write_table(extract_triples(v1), loc, partition_key="conv_id", n_buckets=n_buckets)
+    before = _file_state(loc)
+
+    refreshed = refresh_triples_partitioned(spark, v2, loc, n_buckets=n_buckets)
+    assert _tset(refreshed) == _tset(extract_triples(v2))
+
+    changed_ids = sorted(
+        {c for c in {r[0] for r in full_corpus.rows} if int(c[1:]) % 5 == 0 or int(c[1:]) % 3 == 0}
+    )
+    touched = {
+        r.p
+        for r in spark.createDataFrame([(c,) for c in changed_ids], "conv_id string")
+        .select(F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int").alias("p"))
+        .collect()
+    }
+    assert touched and len(touched) < n_buckets, "fixture must leave untouched buckets"
+    after = _file_state(loc)
+    for rel, meta in before.items():
+        bucket = int(rel.split("p_hash=")[1].split(os.sep)[0])
+        if bucket not in touched:
+            assert after.get(rel) == meta, f"untouched bucket file rewritten: {rel}"
+
+    # idempotent: refreshing again with the same turns touches no files
+    stable = _file_state(loc)
+    again = refresh_triples_partitioned(spark, v2, loc, n_buckets=n_buckets)
+    assert _file_state(loc) == stable
+    assert _tset(again) == _tset(refreshed)
 
 
 def test_incremental_noop_when_nothing_changed(spark):
