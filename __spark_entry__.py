@@ -890,8 +890,10 @@ FROM documents GROUP BY lang
 def _multimodal_features(spark, sf):
     """Binary-column plumbing (image/audio/video as opaque bytes +
     typed metadata) through Arrow mapInPandas feature extraction.
-    Deterministic synthetic media (decode step stubbed — libs absent);
-    rows-only check, determinism asserted in pytest."""
+    Payloads are real PPM/WAV/RVID media decoded with pure numpy —
+    features derive from actual pixels/samples/frames (the PIL/ffmpeg
+    seam for real-world codecs is ``decode='raise'``); rows-only
+    check, decode correctness + determinism asserted in pytest."""
     from lexicator_spark.operators import multimodal as MM
 
     media = MM.synth_media(spark, n=96)

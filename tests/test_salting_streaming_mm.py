@@ -185,12 +185,64 @@ def test_media_features_deterministic_and_shaped(spark):
     assert again == first
 
 
-def test_media_decode_stub_raises(spark):
-    import pyspark.errors
+def test_media_codecs_roundtrip():
+    """Pure-numpy decoders invert the encoders bit-exactly."""
+    import numpy as np
 
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert (MM.decode_ppm(MM.encode_ppm(rgb)) == rgb).all()
+    samples = rng.integers(-32768, 32767, size=777, dtype=np.int16)
+    sr, back = MM.decode_wav(MM.encode_wav(samples, 8000))
+    assert sr == 8000 and (back == samples).all()
+    frames = rng.integers(0, 256, size=(5, 6, 4, 3), dtype=np.uint8)
+    assert (MM.decode_rvid(MM.encode_rvid(frames)) == frames).all()
+
+
+def test_media_features_reflect_content(spark):
+    """Features come from the decoded pixels/samples, not payload
+    hashes: a bright image scores higher channel means than a dark
+    one; a pure tone concentrates FFT band energy vs white noise."""
+    import numpy as np
+
+    dark = MM.encode_ppm(np.full((16, 16, 3), 10, dtype=np.uint8))
+    bright = MM.encode_ppm(np.full((16, 16, 3), 240, dtype=np.uint8))
+    t = np.arange(1600) / 16000.0
+    tone = MM.encode_wav(
+        (0.8 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16), 16000
+    )
+    rng = np.random.default_rng(3)
+    noise = MM.encode_wav(
+        (0.8 * rng.standard_normal(1600).clip(-1, 1) * 32767).astype(np.int16),
+        16000,
+    )
+    meta = (None, None, None, None, None)
+    media = spark.createDataFrame(
+        [
+            (0, "image", dark, meta),
+            (1, "image", bright, meta),
+            (2, "audio", tone, meta),
+            (3, "audio", noise, meta),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r.features for r in MM.extract_media_features(media).collect()}
+    assert feats[1][0] > feats[0][0] + 0.5  # bright vs dark red-channel mean
+    # tone: one dominant FFT band; noise: spread energy
+    assert max(feats[2][4:]) > 0.5 > max(feats[3][4:])
+
+
+def test_media_decode_seam_raises(spark):
     media = MM.synth_media(spark, n=4)
     with pytest.raises(Exception) as exc_info:
-        MM.extract_media_features(media, decode_stub="raise").collect()
+        MM.extract_media_features(media, decode="raise").collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_media_fake_path_kept_for_unparseable_codecs(spark):
+    media = MM.synth_media(spark, n=6)
+    rows = MM.extract_media_features(media, decode="fake").collect()
+    assert len(rows) == 6
+    assert all(len(r.features) == MM.FEATURE_DIM for r in rows)
