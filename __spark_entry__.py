@@ -608,6 +608,98 @@ WHERE t.term IN ({", ".join(repr(t) for t in KG_TERMS)})
 """
 
 
+def _kg_mention_spans(spark, sf):
+    """Mention spans over documents: (doc_id, term, [start, end)) of
+    the term's first occurrence in the lowercased text — the §1.2 span
+    field as an oracle-checkable query (both engines use plain
+    first-substring position, so values match exactly)."""
+    docs = _t(spark, sf, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != F.lit(""))
+    )
+    terms = F.array(*[F.lit(t) for t in KG_TERMS])
+    start = F.position(F.col("term"), F.col("lt")) - 1
+    return (
+        docs.select(
+            "doc_id",
+            F.lower(F.col("text")).alias("lt"),
+            F.explode(F.array_intersect(toks, terms)).alias("term"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            start.cast("bigint").alias("start"),
+            (start + F.length("term")).cast("bigint").alias("end"),
+        )
+    )
+
+
+_KG_MENTION_SPANS_SQL = f"""
+WITH mentions AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+  WHERE t.term IN ({", ".join(repr(t) for t in KG_TERMS)})
+)
+SELECT m.doc_id, m.term,
+       CAST(strpos(lower(d.text), m.term) - 1 AS BIGINT) AS start,
+       CAST(strpos(lower(d.text), m.term) - 1 + length(m.term) AS BIGINT) AS "end"
+FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
+"""
+
+
+def _kg_span_proximity(spark, sf):
+    """Span-based theta self-join (§2.2): pairs of distinct terms in
+    the same document whose spans overlap or sit within 30 characters
+    — the mention-conflict/nearby-mention join that span offsets
+    enable."""
+    spans = _kg_mention_spans(spark, sf)
+    a = spans.select(
+        "doc_id",
+        F.col("term").alias("term_a"),
+        F.col("start").alias("start_a"),
+        F.col("end").alias("end_a"),
+    )
+    b = spans.select(
+        "doc_id",
+        F.col("term").alias("term_b"),
+        F.col("start").alias("start_b"),
+        F.col("end").alias("end_b"),
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("term_a") < F.col("term_b"))
+            & (F.col("start_b") >= F.col("start_a"))
+            & (F.col("start_b") - F.col("end_a") <= 30)
+        )
+        .select(
+            "doc_id",
+            "term_a",
+            "term_b",
+            (F.col("start_b") - F.col("end_a")).cast("bigint").alias("gap"),
+        )
+    )
+
+
+_KG_SPAN_PROXIMITY_SQL = f"""
+WITH mentions AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+  WHERE t.term IN ({", ".join(repr(t) for t in KG_TERMS)})
+), spans AS (
+  SELECT m.doc_id, m.term,
+         CAST(strpos(lower(d.text), m.term) - 1 AS BIGINT) AS s,
+         CAST(strpos(lower(d.text), m.term) - 1 + length(m.term) AS BIGINT) AS e
+  FROM mentions m JOIN documents d ON m.doc_id = d.doc_id
+)
+SELECT a.doc_id, a.term AS term_a, b.term AS term_b,
+       CAST(b.s - a.e AS BIGINT) AS gap
+FROM spans a JOIN spans b
+  ON a.doc_id = b.doc_id AND a.term < b.term
+WHERE b.s >= a.s AND b.s - a.e <= 30
+"""
+
+
 def _kg_cooccurrence(spark, sf):
     m = _kg_extract_mentions(spark, sf)
     a = m.select("doc_id", F.col("term").alias("term_a"))
@@ -947,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_assembly": _group_assembly,
         # KG
         "kg_extract_mentions": _kg_extract_mentions,
+        "kg_mention_spans": _kg_mention_spans,
+        "kg_span_proximity_pairs": _kg_span_proximity,
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_connected_components": _kg_connected_components,
         "kg_pipeline_triples": _kg_pipeline_triples,
@@ -995,6 +1089,8 @@ def oracle_sql() -> dict[str, str]:
         # nature; exactness bounds asserted in pytest instead.
         "group_assembly": _GROUP_ASSEMBLY_SQL,
         "kg_extract_mentions": _KG_EXTRACT_SQL,
+        "kg_mention_spans": _KG_MENTION_SPANS_SQL,
+        "kg_span_proximity_pairs": _KG_SPAN_PROXIMITY_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
         "kg_connected_components": _KG_CC_SQL,
         # kg_pipeline_triples: not SQL-expressible (pandas-UDF extraction

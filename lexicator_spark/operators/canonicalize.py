@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lexicator_spark import rules
+from lexicator_spark.operators.extract import null_span
 
 
 def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -173,6 +174,7 @@ def canonical_of_triples(assignments: DataFrame) -> DataFrame:
             F.lit(rules.PRED_CANONICAL_OF).alias("pred"),
             F.col("canonical_id").alias("obj"),
             F.lit(1.0).alias("conf"),
+            null_span(),
             F.lit(None).cast("string").alias("conv_id"),
             F.lit(None).cast("int").alias("turn_idx"),
             F.lit(None).cast("timestamp").alias("extracted_at"),

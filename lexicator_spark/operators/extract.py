@@ -34,18 +34,32 @@ from pyspark.sql import types as T
 
 from lexicator_spark import rules
 
-# array<struct<pred,obj,conf>> emitted per turn by the text-rule UDF
+# array<struct<pred,obj,conf,start,end>> emitted per turn by the
+# text-rule UDF; start/end are the mention span (SURVEY.md §1.2),
+# null for non-mention predicates
 _RULE_HIT = T.ArrayType(
     T.StructType(
         [
             T.StructField("pred", T.StringType(), False),
             T.StructField("obj", T.StringType(), False),
             T.StructField("conf", T.DoubleType(), False),
+            T.StructField("start", T.IntegerType(), True),
+            T.StructField("end", T.IntegerType(), True),
         ]
     )
 )
 
-TRIPLE_COLUMNS = ["subj", "pred", "obj", "conf", "conv_id", "turn_idx", "extracted_at"]
+SPAN_TYPE = "struct<start:int,end:int>"
+
+TRIPLE_COLUMNS = [
+    "subj", "pred", "obj", "conf", "span", "conv_id", "turn_idx", "extracted_at",
+]
+
+
+def null_span() -> F.Column:
+    """Typed null span for triple emitters without character offsets
+    (structural rules, linking, canonicalization)."""
+    return F.lit(None).cast(SPAN_TYPE).alias("span")
 
 
 def _text_rule_hits(texts: pd.Series) -> pd.Series:
@@ -54,20 +68,23 @@ def _text_rule_hits(texts: pd.Series) -> pd.Series:
     so the pytest oracle can never drift."""
     out = []
     for text in texts:
-        hits: list[tuple[str, str, float]] = []
+        hits: list[tuple[str, str, float, int | None, int | None]] = []
         seen: set[tuple[str, str]] = set()
 
-        def add(pred: str, obj: str, conf: float) -> None:
+        def add(pred, obj, conf, start=None, end=None) -> None:
             if (pred, obj) not in seen:
                 seen.add((pred, obj))
-                hits.append((pred, obj, conf))
+                hits.append((pred, obj, conf, start, end))
 
         try:
             if text:
+                spans = rules.mention_spans(text)
                 for m in rules.MENTION_RE.findall(text):
-                    add(rules.PRED_MENTIONS, rules.normalize_surface(m), 1.0)
+                    o = rules.normalize_surface(m)
+                    add(rules.PRED_MENTIONS, o, 1.0, *spans[o])
                 for m in rules.WIKILINK_RE.findall(text):
-                    add(rules.PRED_MENTIONS, rules.normalize_surface(m), 0.8)
+                    o = rules.normalize_surface(m)
+                    add(rules.PRED_MENTIONS, o, 0.8, *spans[o])
                 for m in rules.DEPENDS_RE.findall(text):
                     a, b = rules.DEPENDS_SPLIT.split(m, 1)
                     add(
@@ -81,7 +98,7 @@ def _text_rule_hits(texts: pd.Series) -> pd.Series:
                     for k, v in params:
                         add(rules.PRED_TPL_PARAM, f"{name}|{k}={v}", 1.0)
         except Exception as exc:  # error channel, never throw in a UDF
-            hits.append(("_error", f"{type(exc).__name__}: {exc}", 0.0))
+            hits.append(("_error", f"{type(exc).__name__}: {exc}", 0.0, None, None))
         out.append(hits)
     return pd.Series(out)
 
@@ -120,6 +137,7 @@ def extract_triples(turns: DataFrame, impl: str = "native") -> DataFrame:
             F.lit(rules.PRED_USES_TOOL).alias("pred"),
             F.col("tool").alias("obj"),
             F.lit(1.0).alias("conf"),
+            null_span(),
             "conv_id",
             "turn_idx",
             F.col("ts").alias("extracted_at"),
@@ -140,6 +158,7 @@ def extract_triples(turns: DataFrame, impl: str = "native") -> DataFrame:
                 "#", F.col("conv_id"), F.col("prev_idx").cast("string")
             ).alias("obj"),
             F.lit(1.0).alias("conf"),
+            null_span(),
             "conv_id",
             "turn_idx",
             F.col("ts").alias("extracted_at"),
@@ -174,6 +193,12 @@ def extract_triples(turns: DataFrame, impl: str = "native") -> DataFrame:
             F.substring_index(F.col("h.pred"), "\x00", 1).alias("pred"),
             F.col("h.obj").alias("obj"),
             F.col("h.conf").alias("conf"),
+            F.when(
+                F.col("h.start").isNotNull(),
+                F.struct(
+                    F.col("h.start").alias("start"), F.col("h.end").alias("end")
+                ),
+            ).alias("span"),
             "conv_id",
             "turn_idx",
             "extracted_at",
@@ -198,32 +223,70 @@ def _native_text_hits(turns: DataFrame) -> DataFrame:
     string arrays (binary-comparable, no lambda interpretation) and
     ``array_except`` to drop wikilink surfaces already found as exact
     aliases — max-conf semantics, matching the pandas path's
-    first-occurrence-wins ordering."""
+    first-occurrence-wins ordering.
+
+    Mention spans mirror ``rules.mention_spans``: per normalized
+    surface, ``array_min`` over (first-substring-position, raw-length)
+    structs — struct ordering gives exactly Python's tuple-min."""
     norm = lambda c: F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+    text = F.col("text")
 
-    def hit(pred_col, obj_col, conf: float):
+    def hit(pred_col, obj_col, conf: float, start=None, end=None):
         return F.struct(
-            pred_col.alias("pred"), obj_col.alias("obj"), F.lit(conf).alias("conf")
+            pred_col.alias("pred"),
+            obj_col.alias("obj"),
+            F.lit(conf).alias("conf"),
+            (F.lit(None).cast("int") if start is None else start.cast("int")).alias("start"),
+            (F.lit(None).cast("int") if end is None else end.cast("int")).alias("end"),
         )
 
-    exact = F.array_distinct(
-        F.transform(
-            F.regexp_extract_all(F.col("text"), F.lit(rules.MENTION_PATTERN), F.lit(0)),
-            norm,
+    def span_items(raws, start_of):
+        """(obj, start, len) candidate structs for every raw match."""
+        return F.transform(
+            raws,
+            lambda r: F.struct(
+                norm(r).alias("obj"),
+                start_of(r).alias("start"),
+                F.length(r).alias("len"),
+            ),
         )
-    )
-    wiki = F.array_distinct(
-        F.transform(
-            F.regexp_extract_all(F.col("text"), F.lit(rules.WIKILINK_PATTERN), F.lit(1)),
-            norm,
+
+    def mention_hits(items, objs, conf: float):
+        def best(o):
+            return F.array_min(
+                F.transform(
+                    F.filter(items, lambda i: i["obj"] == o),
+                    lambda i: F.struct(
+                        i["start"].alias("start"), i["len"].alias("len")
+                    ),
+                )
+            )
+
+        return F.transform(
+            objs,
+            lambda o: hit(
+                F.lit(rules.PRED_MENTIONS),
+                o,
+                conf,
+                best(o)["start"],
+                best(o)["start"] + best(o)["len"],
+            ),
         )
+
+    exact_raws = F.regexp_extract_all(text, F.lit(rules.MENTION_PATTERN), F.lit(0))
+    exact_items = span_items(exact_raws, lambda r: F.position(r, text) - 1)
+    exact = F.array_distinct(F.transform(exact_raws, norm))
+    mention = mention_hits(exact_items, exact, 1.0)
+
+    wiki_raws = F.regexp_extract_all(text, F.lit(rules.WIKILINK_PATTERN), F.lit(1))
+    # inner surface located via its brackets: 0-based start =
+    # (1-based position of "[[") - 1 + 2
+    wiki_items = span_items(
+        wiki_raws,
+        lambda r: F.position(F.concat(F.lit("[["), r, F.lit("]]")), text) + 1,
     )
-    mention = F.transform(
-        exact, lambda o: hit(F.lit(rules.PRED_MENTIONS), o, 1.0)
-    )
-    wikilink = F.transform(
-        F.array_except(wiki, exact), lambda o: hit(F.lit(rules.PRED_MENTIONS), o, 0.8)
-    )
+    wiki = F.array_distinct(F.transform(wiki_raws, norm))
+    wikilink = mention_hits(wiki_items, F.array_except(wiki, exact), 0.8)
     # outer distinct: raw variants can normalize to the same pair
     depends = F.array_distinct(F.transform(
         F.regexp_extract_all(F.col("text"), F.lit(rules.DEPENDS_PATTERN), F.lit(0)),

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lexicator_spark import rules
+from lexicator_spark.operators.extract import null_span
 
 
 def _shingles(col):
@@ -115,6 +116,7 @@ def link_mentions(
         F.lit(rules.PRED_SAME_AS).alias("pred"),
         F.col("canonical_id").alias("obj"),
         F.col("score").alias("conf"),
+        null_span(),
         F.lit(None).cast("string").alias("conv_id"),
         F.lit(None).cast("int").alias("turn_idx"),
         F.lit(None).cast("timestamp").alias("extracted_at"),

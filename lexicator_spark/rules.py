@@ -129,6 +129,37 @@ def turn_uri(conv_id: str, turn_idx: int) -> str:
     return f"{conv_id}#{turn_idx}"
 
 
+def mention_spans(text: str) -> dict[str, tuple[int, int]]:
+    """(start, end) span [0-based, end-exclusive] for each normalized
+    mention surface in ``text`` — SURVEY.md §1.2's candidate-struct
+    span field.
+
+    Definition (shared verbatim by the pandas UDF, the pure-Python
+    oracle, and mirrored by the Catalyst implementation): the span of
+    a surface is min((first-substring-position, raw-length)) over all
+    raw variants that normalize to it.  Exact-alias hits locate the
+    raw alias text directly; wikilink-only surfaces locate the text
+    inside ``[[...]]`` via its brackets (so arbitrary surfaces never
+    need regex escaping).  If a raw also occurs earlier as a substring
+    of a longer word, the span points there — spans feed highlighting
+    and overlap joins, not re-parsing."""
+    exact: dict[str, tuple[int, int]] = {}
+    for r in MENTION_RE.findall(text):
+        obj = normalize_surface(r)
+        cand = (text.find(r), len(r))
+        if obj not in exact or cand < exact[obj]:
+            exact[obj] = cand
+    wiki: dict[str, tuple[int, int]] = {}
+    for r in WIKILINK_RE.findall(text):
+        obj = normalize_surface(r)
+        if obj in exact:
+            continue
+        cand = (text.find(f"[[{r}]]") + 2, len(r))
+        if obj not in wiki or cand < wiki[obj]:
+            wiki[obj] = cand
+    return {o: (s, s + ln) for o, (s, ln) in {**exact, **wiki}.items()}
+
+
 # Character-shingle size for the Jaccard link-scoring stage.
 SHINGLE_K = 3
 LINK_SCORE_THRESHOLD = 0.5

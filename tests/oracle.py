@@ -57,6 +57,19 @@ def extract_oracle(rows: list[tuple]) -> set[tuple[str, str, str]]:
     return triples
 
 
+def mention_spans_oracle(rows: list[tuple]) -> set[tuple[str, str, int, int]]:
+    """(turn_uri, surface, start, end) for every mention triple —
+    span semantics defined once in rules.mention_spans."""
+    out: set[tuple[str, str, int, int]] = set()
+    for conv_id, turn_idx, _role, text, _tool, _ts in rows:
+        if not text:
+            continue
+        uri = rules.turn_uri(conv_id, turn_idx)
+        for obj, (s, e) in rules.mention_spans(text).items():
+            out.add((uri, obj, s, e))
+    return out
+
+
 def link_oracle(triples: set[tuple[str, str, str]]) -> set[tuple[str, str, str]]:
     """mention surfaces → same_as triples, mirroring Stage B: blocking
     key candidate set, Jaccard on char-3-gram shingles, best pick with

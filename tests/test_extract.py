@@ -49,6 +49,52 @@ def test_extract_covers_generator_goldens(spark):
     assert not missing, f"missing planted triples: {sorted(missing)[:10]}"
 
 
+def test_mention_spans_match_oracle_both_impls(spark):
+    """SURVEY.md §1.2 span field: both implementations emit identical
+    (start, end) character spans for every mention, equal to the
+    shared rules.mention_spans definition; non-mention triples carry
+    null spans."""
+    corpus = synth.make_corpus(n_convs=40, seed=13)
+    df = synth.corpus_df(spark, corpus)
+    expected = oracle.mention_spans_oracle(corpus.rows)
+    for impl in ("pandas", "native"):
+        out = extract_triples(df, impl=impl)
+        got = {
+            (r.subj, r.obj, r.span.start, r.span.end)
+            for r in out.filter(f"pred = '{rules.PRED_MENTIONS}'")
+            .select("subj", "obj", "span")
+            .collect()
+        }
+        assert got == expected, impl
+        others = out.filter(f"pred <> '{rules.PRED_MENTIONS}'")
+        assert others.filter("span IS NOT NULL").count() == 0, impl
+
+
+def test_mention_span_edge_cases(spark):
+    """Casing variants, substring-earlier occurrences, and wikilink
+    bracket location — deterministic expectations."""
+    text = "pysparkish Spark talk, [[sparc db]] and PySpark vs pyspark"
+    rows = [("c0", 0, "user", text, None, synth.EPOCH)]
+    df = synth.corpus_df(spark, synth.Corpus(rows=rows))
+    for impl in ("pandas", "native"):
+        got = {
+            (r.obj, r.span.start, r.span.end)
+            for r in extract_triples(df, impl=impl)
+            .filter(f"pred = '{rules.PRED_MENTIONS}'")
+            .collect()
+        }
+        assert got == {
+            # "Spark" raw first occurs at 11 (the word match)
+            ("spark", text.find("Spark"), text.find("Spark") + 5),
+            # pyspark: min over raws ("PySpark" at 40, "pyspark" at 0
+            # inside "pysparkish" — substring-earlier is the defined
+            # behavior, identical in every implementation)
+            ("pyspark", 0, 7),
+            # wikilink inner surface located via its brackets
+            ("sparc db", text.find("[[sparc db]]") + 2, text.find("[[sparc db]]") + 10),
+        }, impl
+
+
 def test_template_param_parsing(spark):
     """TemplateParser analog: params map with later-key override, both
     impls, incl. the no-param and duplicate-key edge cases."""
