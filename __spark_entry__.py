@@ -753,6 +753,30 @@ SELECT node, comp FROM chained WHERE n_user_events > 1
 """
 
 
+def _kg_claims_qualifiers(spark, sf):
+    """Claim-qualifier view over the synthetic transcript corpus
+    (SURVEY §1.1: template params → sorted qualifier structs).  The
+    parquet test tables carry no template syntax, so like
+    kg_pipeline_triples this runs on the deterministic synth corpus;
+    rows-only driver check, exact expectations in pytest."""
+    from lexicator_spark import synth
+    from lexicator_spark.operators.extract import claims_with_qualifiers, extract_triples
+
+    turns = synth.corpus_df(spark, synth.make_corpus(n_convs=300, seed=42))
+    claims = claims_with_qualifiers(extract_triples(turns))
+    return claims.select(
+        "subj",
+        "template",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "qualifiers", lambda q: F.concat_ws("=", q["key"], q["value"])
+            ),
+        ).alias("qualifiers_kv"),
+        "n_qualifiers",
+    )
+
+
 def _kg_pipeline_triples(spark, sf):
     """Full KG pipeline (extract→link→canonicalize) on the
     deterministic synthetic transcript corpus — not SQL-expressible
@@ -1043,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_span_proximity_pairs": _kg_span_proximity,
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_connected_components": _kg_connected_components,
+        "kg_claims_qualifiers": _kg_claims_qualifiers,
         "kg_pipeline_triples": _kg_pipeline_triples,
         # dedup / similarity / text
         "dedup_exact": _dedup_exact,

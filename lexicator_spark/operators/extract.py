@@ -351,3 +351,38 @@ def split_rejects(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = triples.filter(F.col("pred") != "_error")
     rejects = triples.filter(F.col("pred") == "_error")
     return good, rejects
+
+
+def claims_with_qualifiers(triples: DataFrame) -> DataFrame:
+    """Claims view (SURVEY §1.1: lexeme claim qualifiers → qualifier
+    column): one row per ``invokes`` triple, with its qualifiers
+    re-assembled from the flat ``tpl_param`` rows (obj packs
+    ``name|k=v``).  Qualifiers are a SORTED array<struct<key,value>>
+    — not a MapType — so output is deterministic and value-hashable
+    across engines.  When a turn invokes the same template more than
+    once, the distinct (k, v) pairs across invocations merge (the
+    keep-last override already ran per invocation at extract time).
+
+    Output: (subj, template, qualifiers, n_qualifiers)."""
+    invokes = triples.filter(F.col("pred") == rules.PRED_INVOKES).select(
+        "subj", F.col("obj").alias("template")
+    )
+    name = F.substring_index(F.col("obj"), "|", 1)
+    kv = F.substring(F.col("obj"), F.length(name) + 2, F.lit(1 << 30))
+    key = F.substring_index(kv, "=", 1)
+    value = F.substring(kv, F.length(key) + 2, F.lit(1 << 30))
+    params = triples.filter(F.col("pred") == rules.PRED_TPL_PARAM).select(
+        "subj",
+        name.alias("template"),
+        F.struct(key.alias("key"), value.alias("value")).alias("q"),
+    )
+    quals = params.groupBy("subj", "template").agg(
+        F.array_sort(F.collect_list("q")).alias("qualifiers")
+    )
+    no_quals = F.array().cast("array<struct<key:string,value:string>>")
+    return invokes.join(quals, ["subj", "template"], "left").select(
+        "subj",
+        "template",
+        F.coalesce(F.col("qualifiers"), no_quals).alias("qualifiers"),
+        F.coalesce(F.size("qualifiers"), F.lit(0)).alias("n_qualifiers"),
+    )

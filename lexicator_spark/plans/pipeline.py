@@ -148,7 +148,12 @@ def run_pipeline(
     staged("materialize", None, stage_d, triples_path, "conv_id")
 
     def stage_entities():
-        return (
+        """Entity dimension table (FIXTURES.md §4): one row per
+        (canonical_id, member surface), carrying the Stage-B link
+        score, the blocking key, and corpus mention counts — the
+        flattened analog of the reference's lexeme-entity record
+        (SURVEY §1.1: nested claims → triples + entities dimension)."""
+        members = (
             canonical.select(
                 F.col("obj").alias("canonical_id"), F.col("subj").alias("surface_form")
             )
@@ -158,6 +163,34 @@ def run_pipeline(
                 )
             )
             .distinct()
+        )
+        link_scores = same_as.select(
+            F.col("subj").alias("surface_form"), F.col("conf").alias("score")
+        )
+        mention_counts = (
+            triples_a.filter(F.col("pred") == rules.PRED_MENTIONS)
+            .groupBy(F.col("obj").alias("surface_form"))
+            .agg(F.count(F.lit(1)).alias("n_mentions"))
+        )
+        block_key = F.concat(
+            F.substring("surface_form", 1, 1),
+            F.floor(F.length("surface_form") / 4).cast("int").cast("string"),
+        )
+        return (
+            members.join(link_scores, "surface_form", "left")
+            .join(mention_counts, "surface_form", "left")
+            .select(
+                "canonical_id",
+                "surface_form",
+                block_key.alias("block_key"),
+                # canonical members carry score 1.0 by identity
+                F.coalesce(
+                    F.col("score"),
+                    F.when(F.col("surface_form") == F.col("canonical_id"), 1.0),
+                ).alias("score"),
+                F.coalesce(F.col("n_mentions"), F.lit(0)).alias("n_mentions"),
+                (F.col("surface_form") == F.col("canonical_id")).alias("is_canonical"),
+            )
         )
 
     staged("entities", None, stage_entities, entities_path, None)

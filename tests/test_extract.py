@@ -111,6 +111,31 @@ def test_template_param_parsing(spark):
         assert ("c0#0", rules.PRED_TPL_PARAM, "search|q=abc") not in got, impl
 
 
+def test_claims_with_qualifiers(spark):
+    """Claim-qualifier view: invokes triples re-join their tpl_param
+    rows as sorted (key, value) structs; no-param claims get an empty
+    array; keep-last override and '=' inside values survive."""
+    from lexicator_spark.operators.extract import claims_with_qualifiers
+
+    rows = [
+        ("c0", 0, "user",
+         "run {{search|q=a=b|mode=fast|q=xyz}} and {{bash}} then {{search|lang=en}}",
+         None, synth.EPOCH),
+    ]
+    df = synth.corpus_df(spark, synth.Corpus(rows=rows))
+    for impl in ("pandas", "native"):
+        claims = {
+            (r.subj, r.template): [(q.key, q.value) for q in r.qualifiers]
+            for r in claims_with_qualifiers(extract_triples(df, impl=impl)).collect()
+        }
+        assert claims[("c0#0", "bash")] == [], impl
+        # keep-last dropped q=a=b inside the first invocation; the two
+        # invocations' surviving distinct pairs merge, sorted
+        assert claims[("c0#0", "search")] == [
+            ("lang", "en"), ("mode", "fast"), ("q", "xyz"),
+        ], impl
+
+
 def test_order_invariance(spark):
     """Shuffled input rows / different partitioning → identical triple
     set (north_rule stable-ordering invariant)."""

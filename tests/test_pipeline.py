@@ -68,6 +68,40 @@ def test_pipeline_resume_mid_run(spark, tmp_path):
     assert _tset(triples_of(spark, out)) == want
 
 
+def test_entities_dimension_table(spark, tmp_path):
+    """Entities table carries blocking key, link score, mention counts
+    and the canonical flag (FIXTURES.md §4 schema)."""
+    from lexicator_spark import rules
+    from lexicator_spark.sources import io as sio
+
+    corpus = synth.make_corpus(n_convs=60, seed=42)
+    out = str(tmp_path / "kg")
+    res = run_pipeline(spark, synth.corpus_df(spark, corpus), out, resume=False)
+    ents = sio.read_table(spark, res.entities_path)
+    assert ents.columns == [
+        "canonical_id", "surface_form", "block_key", "score", "n_mentions", "is_canonical",
+    ]
+    rows = {r.surface_form: r for r in ents.collect()}
+    assert rows, "entities table must not be empty"
+    for r in rows.values():
+        assert r.block_key == rules.block_key(r.surface_form)
+        assert r.is_canonical == (r.surface_form == r.canonical_id)
+        assert r.n_mentions >= 0
+        assert r.score is None or 0.0 <= r.score <= 1.0
+    # canonical members score 1.0 by identity
+    assert all(r.score == 1.0 for r in rows.values() if r.is_canonical)
+    # linked (non-canonical) members carry the Stage-B link confidence
+    linked = [r for r in rows.values() if not r.is_canonical]
+    assert linked and all(r.score >= rules.LINK_SCORE_THRESHOLD for r in linked)
+    # mention counts agree with the raw triple table
+    triples = triples_of(spark, out)
+    n_spark = triples.filter(
+        f"pred = '{rules.PRED_MENTIONS}' AND obj = 'spark'"
+    ).count()
+    if "spark" in rows:
+        assert rows["spark"].n_mentions == n_spark
+
+
 def test_lineage_written(spark, tmp_path):
     corpus = synth.make_corpus(n_convs=10, seed=4)
     df = synth.corpus_df(spark, corpus)
