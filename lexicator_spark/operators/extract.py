@@ -78,11 +78,13 @@ def _text_rule_hits(texts: pd.Series) -> pd.Series:
 
         try:
             if text:
-                spans = rules.mention_spans(text)
-                for m in rules.MENTION_RE.findall(text):
+                exact_raws = rules.MENTION_RE.findall(text)
+                wiki_raws = rules.WIKILINK_RE.findall(text)
+                spans = rules.mention_spans_from_raws(text, exact_raws, wiki_raws)
+                for m in exact_raws:
                     o = rules.normalize_surface(m)
                     add(rules.PRED_MENTIONS, o, 1.0, *spans[o])
-                for m in rules.WIKILINK_RE.findall(text):
+                for m in wiki_raws:
                     o = rules.normalize_surface(m)
                     add(rules.PRED_MENTIONS, o, 0.8, *spans[o])
                 for m in rules.DEPENDS_RE.findall(text):
@@ -252,24 +254,31 @@ def _native_text_hits(turns: DataFrame) -> DataFrame:
         )
 
     def mention_hits(items, objs, conf: float):
-        def best(o):
-            return F.array_min(
-                F.transform(
-                    F.filter(items, lambda i: i["obj"] == o),
-                    lambda i: F.struct(
-                        i["start"].alias("start"), i["len"].alias("len")
-                    ),
-                )
-            )
-
-        return F.transform(
+        # two-level transform so the per-surface array_min evaluates
+        # ONCE (a lambda-var field access afterwards), not once per
+        # reference — Catalyst does not CSE inside lambda bodies
+        best = F.transform(
             objs,
-            lambda o: hit(
+            lambda o: F.struct(
+                o.alias("obj"),
+                F.array_min(
+                    F.transform(
+                        F.filter(items, lambda i: i["obj"] == o),
+                        lambda i: F.struct(
+                            i["start"].alias("start"), i["len"].alias("len")
+                        ),
+                    )
+                ).alias("m"),
+            ),
+        )
+        return F.transform(
+            best,
+            lambda x: hit(
                 F.lit(rules.PRED_MENTIONS),
-                o,
+                x["obj"],
                 conf,
-                best(o)["start"],
-                best(o)["start"] + best(o)["len"],
+                x["m"]["start"],
+                x["m"]["start"] + x["m"]["len"],
             ),
         )
 

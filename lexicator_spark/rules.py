@@ -143,14 +143,26 @@ def mention_spans(text: str) -> dict[str, tuple[int, int]]:
     need regex escaping).  If a raw also occurs earlier as a substring
     of a longer word, the span points there — spans feed highlighting
     and overlap joins, not re-parsing."""
+    return mention_spans_from_raws(
+        text, MENTION_RE.findall(text), WIKILINK_RE.findall(text)
+    )
+
+
+def mention_spans_from_raws(
+    text: str, exact_raws: list[str], wiki_raws: list[str]
+) -> dict[str, tuple[int, int]]:
+    """``mention_spans`` with the regex matches supplied by the caller
+    — lets the extraction UDF reuse its own findall results instead of
+    matching twice.  Raws are de-duplicated before the substring
+    search: repeated aliases cost one ``find`` each."""
     exact: dict[str, tuple[int, int]] = {}
-    for r in MENTION_RE.findall(text):
+    for r in set(exact_raws):
         obj = normalize_surface(r)
         cand = (text.find(r), len(r))
         if obj not in exact or cand < exact[obj]:
             exact[obj] = cand
     wiki: dict[str, tuple[int, int]] = {}
-    for r in WIKILINK_RE.findall(text):
+    for r in set(wiki_raws):
         obj = normalize_surface(r)
         if obj in exact:
             continue
