@@ -92,7 +92,12 @@ def _driver_union_find(spark, pairs: list[tuple[str, str]]) -> DataFrame:
             parent[hi] = lo
 
     rows = sorted((node, find(node)) for node in parent)
-    return spark.createDataFrame(rows, "node string, comp string")
+    # slices sized to the data: default one-slice-per-core spawns a
+    # Python worker per core even for a 3-row result
+    n_slices = max(1, len(rows) // 100_000)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), "node string, comp string"
+    )
 
 
 def connected_components(

@@ -58,8 +58,11 @@ def build_catalog(spark) -> DataFrame:
         (qid, alias, rules.block_key(alias), sorted(rules.char_shingles(alias)))
         for qid, alias in rules.catalog_rows()
     ]
+    # single-slice parallelize: the default (one slice per core) costs
+    # a Python worker per slice every time the catalog is evaluated
     return spark.createDataFrame(
-        rows, "canonical_id string, alias_norm string, cat_block string, cat_shingles array<string>"
+        spark.sparkContext.parallelize(rows, 1),
+        "canonical_id string, alias_norm string, cat_block string, cat_shingles array<string>",
     )
 
 

@@ -65,9 +65,15 @@ def _is_done(spark: SparkSession, root: str, stage: str) -> bool:
 
 
 def _append_lineage(spark: SparkSession, root: str, row: dict) -> None:
-    df = spark.createDataFrame(
-        [(row["stage"], row["rows_in"], row["rows_out"], row["wall_ms"], row["n_partitions"])],
-        "stage string, rows_in bigint, rows_out bigint, wall_ms bigint, n_partitions int",
+    # built from JVM literals, NOT createDataFrame([...]): a
+    # Python-list-backed frame spins up a Python worker per default
+    # slice just to write one row (~5 s per append at local[32])
+    df = spark.range(1).select(
+        F.lit(row["stage"]).alias("stage"),
+        F.lit(row["rows_in"]).cast("bigint").alias("rows_in"),
+        F.lit(row["rows_out"]).cast("bigint").alias("rows_out"),
+        F.lit(row["wall_ms"]).cast("bigint").alias("wall_ms"),
+        F.lit(row["n_partitions"]).cast("int").alias("n_partitions"),
     )
     df.coalesce(1).write.mode("append").parquet(os.path.join(root, "_lineage"))
 
@@ -118,13 +124,25 @@ def run_pipeline(
     triples_path = os.path.join(out_root, "triples")
     entities_path = os.path.join(out_root, "entities")
 
-    # Stage A — extraction
+    # Stage A — extraction.  The extracted frame feeds two writes
+    # (rejects + good); persist for the stage's duration so the scan +
+    # rule evaluation runs once, not once per sink.
+    stage_a_cache: list[DataFrame] = []
+
     def stage_a():
-        good, rejects = split_rejects(extract_triples(turns, impl=impl))
+        from pyspark import StorageLevel
+
+        extracted = extract_triples(turns, impl=impl).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        stage_a_cache.append(extracted)
+        good, rejects = split_rejects(extracted)
         sio.write_table(rejects, os.path.join(out_root, "rejects"), partition_key=None)
         return good
 
     triples_a = staged("extract", turns, stage_a, raw_path, "conv_id")
+    for cached in stage_a_cache:
+        cached.unpersist()
 
     # Stage B — linking
     def stage_b():

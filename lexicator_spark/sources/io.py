@@ -64,7 +64,14 @@ def write_table(
         return
     if partition_key is not None and partition_key in df.columns:
         df = with_partition_hash(df, partition_key, n_buckets)
-        df.write.mode(mode).partitionBy("p_hash").parquet(location)
+        # cluster rows by bucket before the partitioned write: every
+        # p_hash lands in one task, so each partition dir gets ONE
+        # file instead of (shuffle partitions × buckets) shards —
+        # small-file explosion is the thing that kills object-store
+        # listings at scale
+        df.repartition(F.col("p_hash")).write.mode(mode).partitionBy(
+            "p_hash"
+        ).parquet(location)
     else:
         df.write.mode(mode).parquet(location)
     # explicit schema sidecar: reads never infer (and an all-empty
@@ -95,7 +102,9 @@ def upsert_partitions(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        hashed.write.mode("overwrite").partitionBy("p_hash").parquet(location)
+        hashed.repartition(F.col("p_hash")).write.mode("overwrite").partitionBy(
+            "p_hash"
+        ).parquet(location)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     fsutil.write_text(spark, _schema_sidecar(location), hashed.schema.json())
