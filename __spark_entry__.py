@@ -919,6 +919,44 @@ SELECT probe_id, neighbor_id FROM ranked WHERE rn = 1
 """
 
 
+_NEAR_DUP_THRESHOLD = 0.4
+
+
+def _dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs, exact mode on a bounded slice
+    so the DuckDB twin matches bit-for-bit; the LSH-blocked scale path
+    of the same operator is recall-gated in pytest."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 250)
+    return SIM.embedding_near_dup_pairs(
+        emb, threshold=_NEAR_DUP_THRESHOLD, blocked=False
+    )
+
+
+_DEDUP_EMBEDDING_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 250
+), pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(
+           list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2])) /
+           (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+            sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT a, b, CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_micro
+FROM pairs WHERE cos >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
+def _ann_ivf(spark, sf):
+    """IVF coarse-quantizer ANN (seeded deterministic k-means cells,
+    n_probe nearest cells searched, exact rerank) — approximate by
+    design; recall vs brute force gated in pytest."""
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _ANN_N_PROBES)
+    return SIM.ivf_ann_topk(emb, probes, k=1).select("probe_id", "neighbor_id")
+
+
 def _ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < _ANN_N_PROBES)
@@ -993,6 +1031,29 @@ def _text_token_count(spark, sf):
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+def _text_token_count_bpe(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        TS.with_bpe_token_count(docs)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _bpe_token_count_sql() -> str:
+    pat = TS.BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(lower(text), '{pat}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
 
 
 _TEXT_TOKEN_COUNT_SQL = """
@@ -1075,11 +1136,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
         "ann_cosine_top1": _ann_top1,
         "ann_lsh_top1": _ann_lsh,
+        "ann_ivf_top1": _ann_ivf,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
         "text_token_count": _text_token_count,
+        "text_token_count_bpe": _text_token_count_bpe,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_features": _multimodal_features,
     }
@@ -1126,11 +1190,13 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash_lsh / dedup_simhash: signature families are
         # engine-internal (crc32 minhash / simhash); verified in pytest
         # against exact-jaccard / hamming ground truth.
+        "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_top1": _ANN_TOP1_SQL,
-        # ann_lsh_top1: approximate by design; recall vs exact measured
-        # in pytest.
+        # ann_lsh_top1 / ann_ivf_top1: approximate by design; recall vs
+        # exact measured in pytest.
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _langid_sql(),
         "text_token_count": _TEXT_TOKEN_COUNT_SQL,
+        "text_token_count_bpe": _bpe_token_count_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     }

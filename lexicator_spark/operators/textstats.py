@@ -31,6 +31,28 @@ def with_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("n_tokens", F.size(_toks(F.col(text_col))))
 
 
+# BPE-ish pre-tokenizer: the GPT-2-style split (contraction suffixes,
+# letter runs, digit runs, punctuation runs, whitespace runs) without
+# lookaheads, so the SAME pattern runs identically under Java regex
+# (Spark) and RE2 (DuckDB).  Counts approximate BPE token counts the
+# way training-data pipelines budget corpora.
+BPE_TOKEN_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+
+def with_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``n_bpe_tokens``: count of BPE-ish pre-tokens over the
+    lowercased text (whitespace runs count once, as merge boundaries
+    do).  Pure Catalyst — one regexp_extract_all inside codegen."""
+    return docs.withColumn(
+        "n_bpe_tokens",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+            )
+        ),
+    )
+
+
 def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality features + combined score, all emitted as integer
     basis points (bp = value·10⁴ floored) so results are bit-stable

@@ -108,6 +108,59 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert hits / len(exact) >= 0.85, f"ANN top-1 recall {hits}/{len(exact)}"
 
 
+def test_embedding_near_dup_blocked_vs_exact(spark):
+    """LSH-blocked embedding near-dup: precision 1.0 by construction
+    (exact rerank), recall vs exact all-pairs ≥ 0.75 at threshold 0.4
+    (measured 0.81-0.88 on the test corpora)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r.a, r.b, r.cos_micro)
+        for r in SIM.embedding_near_dup_pairs(emb, 0.4, blocked=False).collect()
+    }
+    blocked = {
+        (r.a, r.b, r.cos_micro)
+        for r in SIM.embedding_near_dup_pairs(emb, 0.4, blocked=True, dim=64).collect()
+    }
+    assert blocked <= exact, "blocked pairs must be a subset (exact rerank)"
+    assert exact and len(blocked) / len(exact) >= 0.75
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in SIM.cosine_topk(emb, probes, k=1).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in SIM.ivf_ann_topk(emb, probes, k=1).collect()
+    }
+    hits = len(exact & approx)
+    assert hits / len(exact) >= 0.7, f"IVF top-1 recall {hits}/{len(exact)}"
+    # determinism: seeded quantizer + rounded rerank → identical reruns
+    again = {
+        (r.probe_id, r.neighbor_id)
+        for r in SIM.ivf_ann_topk(emb, probes, k=1).collect()
+    }
+    assert again == approx
+
+
+def test_bpe_token_count_basics(spark):
+    from lexicator_spark.operators.textstats import with_bpe_token_count
+
+    docs = spark.createDataFrame(
+        [(1, "We can't stop; it's 2026!"), (2, ""), (3, "hello")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_bpe_tokens for r in with_bpe_token_count(docs).collect()}
+    # we|' 'can|'t|' 'stop|;|' 'it|'s|' '2026|!  (lowercased; leading
+    # spaces attach to the following word as in GPT-2 pre-tokenization)
+    assert got[1] == 9
+    assert got[2] == 0
+    assert got[3] == 1
+
+
 def test_cosine_topk_self_similarity(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
