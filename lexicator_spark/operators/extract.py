@@ -108,9 +108,16 @@ def _text_rule_hits(texts: pd.Series) -> pd.Series:
 _text_rule_udf = F.pandas_udf(_text_rule_hits, _RULE_HIT)
 
 
-def extract_triples(turns: DataFrame, impl: str = "native") -> DataFrame:
+def extract_triples(
+    turns: DataFrame, impl: str = "native", include_replies: bool = True
+) -> DataFrame:
     """turns(conv_id, turn_idx, role, text, tool, ts) → triples
-    (subj, pred, obj, conf, conv_id, turn_idx, extracted_at).
+    (subj, pred, obj, conf, span, conv_id, turn_idx, extracted_at).
+
+    ``include_replies=False`` drops the window-based ``replies_to``
+    branch — required on streaming input (windows need bounded
+    frames); the streaming twin derives replies with
+    ``streaming.ingest.stateful_replies_stream`` instead.
 
     Two equal-output implementations (equality asserted in
     tests/test_extract.py):
@@ -149,23 +156,25 @@ def extract_triples(turns: DataFrame, impl: str = "native") -> DataFrame:
     # replies_to via lag over the stable (conv_id, turn_idx) window —
     # enforces the ordering invariant instead of trusting arithmetic
     # on possibly-non-contiguous turn indexes.
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    replies = (
-        turns.withColumn("prev_idx", F.lag("turn_idx").over(w))
-        .filter(F.col("prev_idx").isNotNull())
-        .select(
-            uri.alias("subj"),
-            F.lit(rules.PRED_REPLIES_TO).alias("pred"),
-            F.concat_ws(
-                "#", F.col("conv_id"), F.col("prev_idx").cast("string")
-            ).alias("obj"),
-            F.lit(1.0).alias("conf"),
-            null_span(),
-            "conv_id",
-            "turn_idx",
-            F.col("ts").alias("extracted_at"),
+    replies = None
+    if include_replies:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        replies = (
+            turns.withColumn("prev_idx", F.lag("turn_idx").over(w))
+            .filter(F.col("prev_idx").isNotNull())
+            .select(
+                uri.alias("subj"),
+                F.lit(rules.PRED_REPLIES_TO).alias("pred"),
+                F.concat_ws(
+                    "#", F.col("conv_id"), F.col("prev_idx").cast("string")
+                ).alias("obj"),
+                F.lit(1.0).alias("conf"),
+                null_span(),
+                "conv_id",
+                "turn_idx",
+                F.col("ts").alias("extracted_at"),
+            )
         )
-    )
 
     # --- text rules ----------------------------------------------------
     if impl == "pandas":
@@ -213,7 +222,8 @@ def extract_triples(turns: DataFrame, impl: str = "native") -> DataFrame:
     # dedup is a per-row array filter — no global shuffle.  First
     # occurrence wins (exact-alias conf=1.0 precedes wikilink 0.8 in
     # the concat order), which keeps conf deterministic.
-    return uses_tool.unionByName(replies).unionByName(text_triples)
+    out = uses_tool.unionByName(text_triples)
+    return out.unionByName(replies) if replies is not None else out
 
 
 def _native_text_hits(turns: DataFrame) -> DataFrame:

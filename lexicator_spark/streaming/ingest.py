@@ -14,6 +14,7 @@ freshness/metrics dashboards.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -62,6 +63,127 @@ def start_extract_stream(
 
     return (
         turns_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+REPLIES_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_turn_idx", T.IntegerType(), True)]
+)
+_REPLIES_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+        T.StructField("conf", T.DoubleType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("extracted_at", T.TimestampType(), True),
+    ]
+)
+
+
+def stateful_replies_stream(
+    turns_stream: DataFrame, state_ttl_minutes: int | None = None
+) -> DataFrame:
+    """Cross-micro-batch ``replies_to`` triples via
+    ``applyInPandasWithState`` (SURVEY §2.2 stateful-streaming row,
+    the only rule that NEEDS cross-batch state): per conversation the
+    state is the last seen turn index, so a turn arriving in a later
+    micro-batch than its predecessor still links to it — closing the
+    gap ``start_extract_stream`` documents.
+
+    Assumes log-structured arrival (a conversation's turns reach the
+    stream in turn order, the normal shape for appended transcript
+    logs); for out-of-order backfills the batch recompute stays the
+    source of truth.  State is one int per live conversation; set
+    ``state_ttl_minutes`` on long-running continuous deployments to
+    evict quiet conversations (ProcessingTimeTimeout keeps firing
+    micro-batches, so leave it None — the default — under
+    ``Trigger.AvailableNow`` backfills, which must terminate)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from lexicator_spark import rules
+
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_idx = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            for idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
+                idx = int(idx)
+                if last_idx is not None and idx > last_idx:
+                    rows.append(
+                        (
+                            rules.turn_uri(conv_id, idx),
+                            rules.PRED_REPLIES_TO,
+                            rules.turn_uri(conv_id, last_idx),
+                            1.0,
+                            conv_id,
+                            idx,
+                            ts,
+                        )
+                    )
+                if last_idx is None or idx > last_idx:
+                    last_idx = idx
+        if last_idx is not None:
+            state.update((last_idx,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _REPLIES_OUT_SCHEMA.fields]
+            )
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    replies = (
+        turns_stream.select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_REPLIES_OUT_SCHEMA,
+            stateStructType=REPLIES_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+    from lexicator_spark.operators.extract import null_span
+
+    return replies.select(
+        "subj", "pred", "obj", "conf", null_span(),
+        "conv_id", "turn_idx", "extracted_at",
+    )
+
+
+def start_extract_stream_stateful(
+    turns_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Full streaming extraction INCLUDING cross-batch ``replies_to``:
+    the stateless turn-local rules (one code path with batch) unioned
+    with the stateful replies stream, one sink, one checkpoint."""
+    from lexicator_spark.operators.extract import extract_triples, split_rejects
+
+    # turn-local rules run directly on the stream (no window needed
+    # once replies_to comes from the stateful operator)
+    local, _ = split_rejects(extract_triples(turns_stream, include_replies=False))
+    replies = stateful_replies_stream(turns_stream)
+    return (
+        local.unionByName(replies)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

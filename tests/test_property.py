@@ -72,3 +72,32 @@ def test_extract_equals_oracle_on_arbitrary_corpora(spark, rows, n_parts, impl):
         for r in extract_triples(df, impl=impl).select("subj", "pred", "obj").collect()
     }
     assert got == oracle.extract_oracle(rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_corpus(), impl=st.sampled_from(["native", "pandas"]))
+def test_mention_spans_are_valid_on_arbitrary_corpora(spark, rows, impl):
+    """Span invariant on adversarial text: every mention span indexes
+    real text whose slice normalizes back to the mention surface, and
+    both implementations equal the shared-rule oracle."""
+    df = synth.corpus_df(spark, synth.Corpus(rows=rows))
+    text_of = {(r[0], r[1]): r[3] for r in rows}
+    out = (
+        extract_triples(df, impl=impl)
+        .filter(f"pred = '{rules.PRED_MENTIONS}'")
+        .select("conv_id", "turn_idx", "obj", "span")
+        .collect()
+    )
+    for r in out:
+        text = text_of[(r.conv_id, r.turn_idx)]
+        s, e = r.span.start, r.span.end
+        assert 0 <= s < e <= len(text), (r, text)
+        assert rules.normalize_surface(text[s:e]) == r.obj, (r, text[s:e])
+    got = {
+        (f"{r.conv_id}#{r.turn_idx}", r.obj, r.span.start, r.span.end) for r in out
+    }
+    assert got == oracle.mention_spans_oracle(rows)

@@ -15,7 +15,9 @@ from lexicator_spark.operators.salting import (
     with_salt,
 )
 from lexicator_spark.streaming.ingest import (
+    TURN_SCHEMA,
     start_extract_stream,
+    start_extract_stream_stateful,
     stream_turns,
     streaming_sessionize,
     windowed_turn_counts,
@@ -116,6 +118,55 @@ def test_windowed_stream_counts(spark, corpus_dir, tmp_path):
     rows = spark.sql("SELECT * FROM turn_counts").collect()
     assert rows and all(r.n_turns > 0 for r in rows)
     assert {r.role for r in rows} <= {"user", "assistant", "tool"}
+
+
+def test_stateful_stream_matches_batch_including_replies(spark, tmp_path):
+    """applyInPandasWithState replies: with log-structured arrival
+    (turn order preserved across micro-batches), the streaming triple
+    set equals batch extraction INCLUDING replies_to — the cross-batch
+    gap start_extract_stream documents is closed by state."""
+    import glob
+    import shutil
+    import time as _time
+
+    from lexicator_spark.operators.extract import extract_triples
+
+    corpus = synth.make_corpus(n_convs=25, seed=17, shuffled=False)
+    input_dir = tmp_path / "turns_in"
+    input_dir.mkdir()
+    rows = sorted(corpus.rows, key=lambda r: (r[1], r[0]))
+    max_idx = max(r[1] for r in corpus.rows)
+    for lo in range(0, max_idx + 1, 2):
+        chunk = [r for r in rows if lo <= r[1] < lo + 2]
+        if not chunk:
+            continue
+        staging = str(tmp_path / f"w{lo}")
+        synth.corpus_df(spark, synth.Corpus(rows=chunk)).coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = str(input_dir / f"chunk_{lo:04d}.parquet")
+        shutil.copy(part, dst)
+        # strictly increasing mtimes pin the file source's batch order
+        t = _time.time() + lo
+        os.utime(dst, (t, t))
+
+    stream = (
+        spark.readStream.schema(TURN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir))
+    )
+    q = start_extract_stream_stateful(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = {
+        (r.subj, r.pred, r.obj)
+        for r in extract_triples(synth.corpus_df(spark, corpus)).collect()
+    }
+    assert got == batch
 
 
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
