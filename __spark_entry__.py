@@ -1084,6 +1084,31 @@ def _doc_fingerprint(spark, sf):
     return TS.with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def _doc_fingerprint_rolling(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return TS.with_rolling_fingerprint(docs).select("doc_id", "rolling_fp")
+
+
+# DuckDB's list_reduce is seedless ((c1*B+c2)%M ...), which equals
+# Spark's 0-seeded fold because (0*B+c1)%M = c1; it ERRORS on empty
+# lists, hence the CASE guard.
+_DOC_FINGERPRINT_ROLLING_SQL = f"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+                       c -> c <> ''),
+           c -> CAST(ascii(c) AS BIGINT)) AS cs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN len(cs) = 0 THEN 0
+                 ELSE list_reduce(cs, (a, b) -> (a * {TS.ROLLING_BASE} + b) % {TS.ROLLING_MOD})
+            END AS BIGINT) AS rolling_fp
+FROM codes
+"""
+
+
 _DOC_FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fingerprint
@@ -1145,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _text_token_count,
         "text_token_count_bpe": _text_token_count_bpe,
         "doc_fingerprint": _doc_fingerprint,
+        "doc_fingerprint_rolling": _doc_fingerprint_rolling,
         "multimodal_features": _multimodal_features,
     }
 
@@ -1199,4 +1225,5 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": _TEXT_TOKEN_COUNT_SQL,
         "text_token_count_bpe": _bpe_token_count_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "doc_fingerprint_rolling": _DOC_FINGERPRINT_ROLLING_SQL,
     }

@@ -39,6 +39,33 @@ def with_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
 BPE_TOKEN_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
 
 
+ROLLING_BASE = 31
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1 (prime); acc*31 + 127 < 2^36, no overflow
+
+
+def with_rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rabin-Karp-style polynomial rolling hash over the characters of
+    the normalized text (lowercased, non-alphanumeric runs collapsed
+    to single spaces).  Order-sensitive like ``with_fingerprint``'s
+    md5, but a pure arithmetic left-fold: the same computation runs
+    verbatim in any engine (the DuckDB twin uses ``list_reduce``), and
+    the polynomial form is what windowed/shingled variants extend —
+    no engine-specific hash function anywhere."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    codes = F.transform(
+        F.filter(F.split(norm, ""), lambda c: c != F.lit("")),
+        lambda c: F.ascii(c).cast("bigint"),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda a, x: (a * ROLLING_BASE + x) % F.lit(ROLLING_MOD),
+    )
+    return docs.withColumn("rolling_fp", h)
+
+
 def with_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``n_bpe_tokens``: count of BPE-ish pre-tokens over the
     lowercased text (whitespace runs count once, as merge boundaries

@@ -161,6 +161,24 @@ def test_bpe_token_count_basics(spark):
     assert got[3] == 1
 
 
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    from lexicator_spark.operators.textstats import (
+        with_fingerprint,
+        with_rolling_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "alpha beta"), (4, "")],
+        "doc_id long, text string",
+    )
+    roll = {r.doc_id: r.rolling_fp for r in with_rolling_fingerprint(docs).collect()}
+    assert roll[1] == roll[3] and roll[1] != roll[2]  # order matters
+    assert roll[4] == 0
+    # identical text → identical fingerprint in both schemes
+    md5fp = {r.doc_id: r.fingerprint for r in with_fingerprint(docs).collect()}
+    assert md5fp[1] == md5fp[3]
+
+
 def test_cosine_topk_self_similarity(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],

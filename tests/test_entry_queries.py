@@ -41,9 +41,11 @@ def test_every_query_has_oracle_or_reason(spark):
     rows_only = qs - os_
     assert rows_only == {
         "kg_pipeline_triples",
+        "kg_claims_qualifiers",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_lsh_top1",
+        "ann_ivf_top1",
         "approx_aggs",
         "multimodal_features",
     }
