@@ -70,6 +70,37 @@ def test_native_extract_has_no_python_eval(spark, tmp_path):
     assert "BatchEvalPython" not in plan_pandas
 
 
+def test_dedup_signatures_have_no_python_eval(spark):
+    """Round-2 invariant: MinHash/SimHash signature computation is
+    fully JVM-side — no Python evaluation nodes in either plan, and
+    the aggregation is a hash aggregate (map-side combinable)."""
+    from lexicator_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for fn in (D.minhash_signatures, D.simhash_fingerprints):
+        plan = _plan(fn(docs))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, fn
+        assert "HashAggregate" in plan, fn
+
+
+def test_lsh_band_join_carries_no_arrays(spark):
+    """The LSH candidate join shuffles (bucket, doc_id) only: no array
+    column may appear in the band-side exchange (token payloads join
+    back by id later)."""
+    from lexicator_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(D.minhash_lsh_pairs(docs))
+    # the join's left/right keys are the bucket hash; 'toks' must not
+    # ride any exchange feeding the bucket join — it only reappears in
+    # the verify joins keyed by doc id
+    join_lines = [
+        l for l in plan.splitlines() if "hashpartitioning(bucket" in l
+    ]
+    assert join_lines, "bucket join exchange not found"
+    assert all("toks" not in l for l in join_lines)
+
+
 def test_partition_pruning_on_stage_table(spark, tmp_path):
     """Salted-hash-partitioned stage tables prune by p_hash."""
     from lexicator_spark.sources import io as sio
