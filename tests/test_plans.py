@@ -85,20 +85,29 @@ def test_dedup_signatures_have_no_python_eval(spark):
 
 def test_lsh_band_join_carries_no_arrays(spark):
     """The LSH candidate join shuffles (bucket, doc_id) only: no array
-    column may appear in the band-side exchange (token payloads join
-    back by id later)."""
+    column may appear in any exchange partitioned on the bucket key
+    (token payloads join back by doc id for the verify step).  Auto
+    broadcast is disabled so the shuffle exchanges exist at test
+    scale — at real scale both band sides are big."""
     from lexicator_spark.operators import dedup as D
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(D.minhash_lsh_pairs(docs))
-    # the join's left/right keys are the bucket hash; 'toks' must not
-    # ride any exchange feeding the bucket join — it only reappears in
-    # the verify joins keyed by doc id
-    join_lines = [
-        l for l in plan.splitlines() if "hashpartitioning(bucket" in l
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        exec_plan = (
+            D.minhash_lsh_pairs(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bucket_exchanges = [
+        l for l in exec_plan.splitlines() if "hashpartitioning(bucket" in l
     ]
-    assert join_lines, "bucket join exchange not found"
-    assert all("toks" not in l for l in join_lines)
+    assert bucket_exchanges, "bucket join exchanges not found"
+    assert all("toks" not in l for l in bucket_exchanges)
 
 
 def test_partition_pruning_on_stage_table(spark, tmp_path):
