@@ -777,6 +777,45 @@ def _kg_claims_qualifiers(spark, sf):
     )
 
 
+def _kg_entity_tool_affinity(spark, sf):
+    """SURVEY §3's flagship KG question: which canonical entities are
+    mentioned in conversations that used tool X?  Runs the full
+    pipeline on the synth corpus, maps mention surfaces to canonical
+    ids through the CC output, joins to tool usage by conversation —
+    rows-only driver check; exact equality vs the pure-Python oracle
+    in tests/test_pipeline.py."""
+    from lexicator_spark import rules, synth
+    from lexicator_spark.operators.canonicalize import (
+        canonical_of_triples,
+        connected_components,
+    )
+    from lexicator_spark.operators.extract import extract_triples, split_rejects
+    from lexicator_spark.operators.link import build_catalog, link_mentions
+
+    turns = synth.corpus_df(spark, synth.make_corpus(n_convs=300, seed=42))
+    triples, _ = split_rejects(extract_triples(turns))
+    same_as = link_mentions(triples, build_catalog(spark))
+    assignments = connected_components(
+        same_as.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    )
+    canonical = canonical_of_triples(assignments)
+    surface_canon = canonical.select(
+        F.col("subj").alias("surface"), F.col("obj").alias("canonical_id")
+    )
+    mentions = triples.filter(F.col("pred") == rules.PRED_MENTIONS).select(
+        "conv_id", F.col("obj").alias("surface")
+    )
+    tools = triples.filter(F.col("pred") == rules.PRED_USES_TOOL).select(
+        "conv_id", F.col("obj").alias("tool")
+    )
+    return (
+        mentions.join(F.broadcast(surface_canon), "surface")
+        .join(tools, "conv_id")
+        .groupBy("tool", "canonical_id")
+        .agg(F.countDistinct("conv_id").alias("n_convs"))
+    )
+
+
 def _kg_pipeline_triples(spark, sf):
     """Full KG pipeline (extract→link→canonicalize) on the
     deterministic synthetic transcript corpus — not SQL-expressible
@@ -1154,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_connected_components": _kg_connected_components,
         "kg_claims_qualifiers": _kg_claims_qualifiers,
+        "kg_entity_tool_affinity": _kg_entity_tool_affinity,
         "kg_pipeline_triples": _kg_pipeline_triples,
         # dedup / similarity / text
         "dedup_exact": _dedup_exact,

@@ -225,6 +225,21 @@ def streaming_sessionize(
     )
 
 
+def dedup_turns_stream(
+    turns_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """In-flight exact dedup of replayed/duplicated turns: at-least-
+    once sources (Kafka replays, file re-drops) re-deliver rows, and a
+    downstream append sink must not double-extract them.
+    ``dropDuplicatesWithinWatermark`` keys on (conv_id, turn_idx) and
+    lets the engine evict state once the watermark passes — bounded
+    state, unlike a plain streaming dropDuplicates which keeps every
+    key forever."""
+    return turns_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def windowed_turn_counts(turns_stream: DataFrame) -> DataFrame:
     """Watermarked sliding-window turn counts per role — late rows
     beyond 10 minutes are dropped deterministically."""

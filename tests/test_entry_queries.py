@@ -42,6 +42,7 @@ def test_every_query_has_oracle_or_reason(spark):
     assert rows_only == {
         "kg_pipeline_triples",
         "kg_claims_qualifiers",
+        "kg_entity_tool_affinity",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_lsh_top1",

@@ -102,6 +102,41 @@ def test_entities_dimension_table(spark, tmp_path):
         assert rows["spark"].n_mentions == n_spark
 
 
+def test_entity_tool_affinity_matches_oracle(spark):
+    """The flagship KG analytics question (SURVEY §3): Spark answer ==
+    the same derivation over the pure-Python oracle triples."""
+    import __spark_entry__ as entrymod
+
+    got = {
+        (r.tool, r.canonical_id, r.n_convs)
+        for r in entrymod.queries()["kg_entity_tool_affinity"](spark, "").collect()
+    }
+
+    from lexicator_spark import rules, synth
+
+    corpus = synth.make_corpus(n_convs=300, seed=42)
+    triples = oracle.full_oracle(corpus.rows)
+    canon = {s: o for s, p, o in triples if p == rules.PRED_CANONICAL_OF}
+    conv_of_turn = {}  # turn uri -> conv
+    mentions, tools = [], []
+    for s, p, o in triples:
+        if p == rules.PRED_MENTIONS:
+            mentions.append((s.split("#")[0], o))
+        elif p == rules.PRED_USES_TOOL:
+            tools.append((s.split("#")[0], o))
+    pairs = {}
+    tool_by_conv = {}
+    for conv, tool in tools:
+        tool_by_conv.setdefault(conv, set()).add(tool)
+    for conv, surface in mentions:
+        if surface not in canon:
+            continue
+        for tool in tool_by_conv.get(conv, ()):
+            pairs.setdefault((tool, canon[surface]), set()).add(conv)
+    expected = {(t, c, len(convs)) for (t, c), convs in pairs.items()}
+    assert got == expected
+
+
 def test_lineage_written(spark, tmp_path):
     corpus = synth.make_corpus(n_convs=10, seed=4)
     df = synth.corpus_df(spark, corpus)

@@ -169,6 +169,32 @@ def test_stateful_stream_matches_batch_including_replies(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_dedup_drops_replayed_turns(spark, tmp_path):
+    """At-least-once replay: the same turns delivered twice dedup to
+    one copy in-flight (bounded state via watermark eviction)."""
+    from lexicator_spark.streaming.ingest import dedup_turns_stream
+
+    corpus = synth.make_corpus(n_convs=10, seed=4)
+    path = str(tmp_path / "replayed")
+    df = synth.corpus_df(spark, corpus)
+    df.write.parquet(path)
+    df.write.mode("append").parquet(path)  # the replay
+    assert spark.read.parquet(path).count() == 2 * len(corpus.rows)
+
+    deduped = dedup_turns_stream(stream_turns(spark, path))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_turns")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT conv_id, turn_idx FROM dedup_turns").collect()
+    assert len(rows) == len(corpus.rows)
+    assert len({(r.conv_id, r.turn_idx) for r in rows}) == len(rows)
+
+
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
     """session_window streaming sessionization equals the batch
     lag+cumsum formulation (operators.asof.sessionize) on a corpus
