@@ -158,6 +158,39 @@ GROUP BY n_name
 """
 
 
+def _q17(spark, sf):
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + join, the classic
+    rewrite Catalyst applies to the subquery form.  Exact cross-engine
+    float discipline: l_quantity is integral so per-part sums/avgs are
+    exact doubles; the final sum is emitted in cents."""
+    li = _t(spark, sf, "lineitem")
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    qty_limit = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(qty_limit, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(_cents(F.sum("l_extendedprice") / 7.0).alias("avg_yearly_c"))
+    )
+
+
+_Q17_SQL = """
+SELECT CAST(ROUND(sum(l_extendedprice) / 7.0 * 100, 0) AS BIGINT) AS avg_yearly_c
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < (
+    SELECT avg(l2.l_quantity) * 0.2 FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
 def _join_broadcast(spark, sf):
     li = _t(spark, sf, "lineitem")
     part = _t(spark, sf, "part")
@@ -1164,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1,
         "q3_shipping_priority": _q3,
         "q5_local_supplier": _q5,
+        "q17_small_quantity_revenue": _q17,
         "join_broadcast_enrich": _join_broadcast,
         "semi_join": _semi_join,
         "anti_join": _anti_join,
@@ -1220,6 +1254,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _Q1_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_local_supplier": _Q5_SQL,
+        "q17_small_quantity_revenue": _Q17_SQL,
         "join_broadcast_enrich": _JOIN_BROADCAST_SQL,
         "semi_join": _SEMI_JOIN_SQL,
         "anti_join": _ANTI_JOIN_SQL,
