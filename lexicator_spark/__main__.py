@@ -4,9 +4,14 @@
     spark-submit --py-files $(python -m lexicator_spark.submit) \
         -m lexicator_spark --input <turns.parquet> --out <root> \
         [--stage all|extract|link|canonicalize|materialize] \
-        [--no-resume] [--impl native|pandas] [--synth N]
+        [--no-resume] [--impl native|pandas] [--synth N] \
+        [--refresh]
 
 Local smoke: ``python -m lexicator_spark --synth 1000 --out /tmp/kg``.
+``--refresh`` runs the incremental path instead of the full pipeline:
+only the Stage-A buckets containing changed conversations are
+rewritten (the RecentChanges analog, ``refresh_triples_partitioned``);
+downstream stages then recompute from the refreshed raw table.
 """
 
 from __future__ import annotations
@@ -27,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["all", "extract", "link", "canonicalize", "materialize"])
     ap.add_argument("--impl", default="native", choices=["native", "pandas"])
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--refresh", action="store_true",
+                    help="incremental Stage-A refresh (partition-level "
+                         "upsert) + downstream recompute")
     ap.add_argument("--master", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -46,6 +54,30 @@ def main(argv: list[str] | None = None) -> int:
         turns = spark.read.parquet(args.input)
 
     from lexicator_spark.plans.pipeline import run_pipeline
+
+    if args.refresh:
+        import os
+
+        from lexicator_spark.operators.incremental import (
+            refresh_triples_partitioned,
+        )
+        from lexicator_spark.sources import fsutil
+
+        raw_path = os.path.join(args.out, "triples_raw")
+        if fsutil.exists(spark, os.path.join(raw_path, "_schema.json")):
+            refreshed = refresh_triples_partitioned(
+                spark, turns, raw_path, impl=args.impl
+            )
+            # downstream stages derive from the refreshed raw table:
+            # drop their checkpoints so run_pipeline recomputes them,
+            # keep extract's (the refresh IS the extract)
+            for stage in ("link", "canonicalize", "materialize", "entities"):
+                fsutil.delete(
+                    spark,
+                    os.path.join(args.out, "_checkpoints", f"{stage}.json"),
+                )
+            print(json.dumps({"refreshed_rows": refreshed.count()}))
+        # no prior stage table → fall through to the full pipeline
 
     # --stage X runs the pipeline up to and including X (checkpoints
     # make re-running earlier stages free)

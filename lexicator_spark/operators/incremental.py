@@ -140,9 +140,16 @@ def refresh_triples_partitioned(
         .join(F.broadcast(changed), "conv_id", "left_anti")
     )
     delta_turns = turns.join(F.broadcast(changed), "conv_id", "left_semi")
-    replacement = kept_in_touched.unionByName(
+    # the stage table holds GOOD triples only — the refresh honors the
+    # error-channel split the same way stage_a does (rejects of a
+    # delta are dropped here; the rejects table is an append-only log
+    # maintained by full runs)
+    from lexicator_spark.operators.extract import split_rejects
+
+    delta_good, _delta_rejects = split_rejects(
         extract_triples(delta_turns, impl=impl)
     )
+    replacement = kept_in_touched.unionByName(delta_good)
     # frontier maintenance: first refresh of a pre-frontier table
     # persists the COMPLETE frontier (one-time full write); afterwards
     # it is bucket-upserted exactly like the stage table

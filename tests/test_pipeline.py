@@ -137,6 +137,40 @@ def test_entity_tool_affinity_matches_oracle(spark):
     assert got == expected
 
 
+def test_cli_full_run_then_incremental_refresh(tmp_path):
+    """CLI driver (SURVEY §2 #13): full run, then --refresh on the same
+    out root — extract is served by the partition-level upsert (stage
+    skipped), downstream stages recompute."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "kg")
+
+    def run_cli(*extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "lexicator_spark",
+             "--synth", "60", "--out", out, "--cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        return [json.loads(l) for l in r.stdout.splitlines()
+                if l.startswith("{")]
+
+    first = run_cli()[-1]
+    assert set(first["stages_run"]) == {
+        "extract", "link", "canonicalize", "materialize", "entities"
+    }
+
+    msgs = run_cli("--refresh")
+    assert any("refreshed_rows" in m for m in msgs)
+    final = msgs[-1]
+    assert "extract" in final["stages_skipped"]
+    assert {"link", "canonicalize", "materialize", "entities"} <= set(
+        final["stages_run"]
+    )
+
+
 def test_lineage_written(spark, tmp_path):
     corpus = synth.make_corpus(n_convs=10, seed=4)
     df = synth.corpus_df(spark, corpus)
