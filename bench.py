@@ -44,16 +44,22 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q17_small_quantity_revenue",
     "window_running_sum",
     "window_topk_per_group",
     "time_bucket_agg",
     "asof_join_events",
     "kg_extract_mentions",
+    "kg_span_proximity_pairs",
     "kg_connected_components",
     "dedup_tokenset",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_cosine_top1",
+    "ann_lsh_top1",
     "text_quality",
+    "text_token_count_bpe",
+    "doc_fingerprint_rolling",
 ]
 
 KG_N_CONVS = int(os.environ.get("BENCH_KG_CONVS", "300000"))  # ~1M turns

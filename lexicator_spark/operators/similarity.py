@@ -19,6 +19,7 @@ corpus is written bucketed by ``bucket``.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,22 +104,50 @@ def with_lsh_buckets(
     With ``multiprobe`` (probe side only), each table additionally
     emits the ``bits_per_table`` buckets at Hamming distance 1 from
     the row's code — the classic multiprobe-LSH recall boost without
-    touching the corpus layout."""
-    buckets = []
-    for t in range(n_tables):
-        code = F.lit(t).cast("long") * (1 << bits_per_table)
-        for i in range(bits_per_table):
-            plane = planes[t * bits_per_table + i]
-            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-            s = _dot(F.col(vec_col), lit_plane)
-            code = code + F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        buckets.append(code)
-        if multiprobe:
-            # flipping a low bit never crosses the table-id prefix
-            buckets.extend(
-                code.bitwiseXOR(F.lit(1 << i)) for i in range(bits_per_table)
+    touching the corpus layout.
+
+    Implementation note (measured): the 144 hyperplane projections per
+    row are one BLAS matmul across the Arrow batch inside a pandas
+    UDF.  Two pure-Catalyst alternatives were tried and rejected —
+    per-plane unrolled expressions cost ~25 s of driver analysis per
+    query, and a literal-matrix + higher-order-function fold still ran
+    interpreted (non-codegen) at ~3 µs per element, 12 s for a 2000-row
+    table.  This is the hot loop where vectorized Python beats the
+    built-ins; everything downstream (multiprobe expansion, joins,
+    rerank) stays JVM-side."""
+    planes_arr = np.asarray(planes, dtype=np.float64)
+    n_planes = n_tables * bits_per_table
+    if planes_arr.shape[0] != n_planes:
+        raise ValueError(f"need {n_planes} planes, got {planes_arr.shape[0]}")
+    weights = 1 << np.arange(bits_per_table, dtype=np.int64)
+    table_base = np.arange(n_tables, dtype=np.int64) << bits_per_table
+
+    @F.pandas_udf("array<long>")
+    def _codes(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        signs = (x @ planes_arr.T) > 0  # (n, n_planes)
+        bits = signs.reshape(len(x), n_tables, bits_per_table)
+        codes = table_base[None, :] + (bits * weights).sum(axis=2)
+        return pd.Series(codes.tolist())
+
+    codes = _codes(F.col(vec_col))
+    if multiprobe:
+        # flipping a low bit never crosses the table-id prefix; the
+        # expansion is 24×7 long-ops per row — cheap in any engine
+        two_i = lambda i: F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        codes = F.flatten(
+            F.transform(
+                codes,
+                lambda c: F.concat(
+                    F.array(c),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bits_per_table - 1)),
+                        lambda i: c.bitwiseXOR(two_i(i)),
+                    ),
+                ),
             )
-    return df.withColumn("bucket", F.explode(F.array(*buckets)))
+        )
+    return df.withColumn("bucket", F.explode(codes))
 
 
 def embedding_near_dup_pairs(
