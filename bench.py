@@ -150,8 +150,12 @@ def main() -> None:
     kg["kg_turns_per_sec_materialized"] = round(kg["kg_n_turns"] / mat_wall, 1)
     timings["kg_pipeline_materialized"] = kg["kg_pipeline_materialized_sec"]
 
-    # both extraction impls, for the native-vs-pandas tradeoff record
+    # both extraction impls, for the native-vs-pandas tradeoff record;
+    # warm the Python workers first (since the dedup signatures went
+    # JVM-side, nothing before this point spawns them — steady-state
+    # is what the comparison is about)
     big_turns = spark.read.parquet(corpus_path)
+    _force(extract_triples(big_turns.limit(20_000), impl="pandas"))
     for impl in ("native", "pandas"):
         t0 = time.monotonic()
         _force(extract_triples(big_turns, impl=impl))
