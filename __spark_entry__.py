@@ -684,7 +684,10 @@ def _kg_span_proximity(spark, sf):
     """Span-based theta self-join (§2.2): pairs of distinct terms in
     the same document whose spans overlap or sit within 30 characters
     — the mention-conflict/nearby-mention join that span offsets
-    enable."""
+    enable.  term_a is the POSITIONALLY earlier mention (ties broken
+    by term), so pair dedup never conflates lexicographic and
+    positional order — "zebra … apple" pairs exactly like
+    "apple … zebra"."""
     spans = _kg_mention_spans(spark, sf)
     a = spans.select(
         "doc_id",
@@ -698,11 +701,15 @@ def _kg_span_proximity(spark, sf):
         F.col("start").alias("start_b"),
         F.col("end").alias("end_b"),
     )
+    earlier = (F.col("start_a") < F.col("start_b")) | (
+        (F.col("start_a") == F.col("start_b"))
+        & (F.col("term_a") < F.col("term_b"))
+    )
     return (
         a.join(b, "doc_id")
         .filter(
-            (F.col("term_a") < F.col("term_b"))
-            & (F.col("start_b") >= F.col("start_a"))
+            (F.col("term_a") != F.col("term_b"))
+            & earlier
             & (F.col("start_b") - F.col("end_a") <= 30)
         )
         .select(
@@ -728,8 +735,9 @@ WITH mentions AS (
 SELECT a.doc_id, a.term AS term_a, b.term AS term_b,
        CAST(b.s - a.e AS BIGINT) AS gap
 FROM spans a JOIN spans b
-  ON a.doc_id = b.doc_id AND a.term < b.term
-WHERE b.s >= a.s AND b.s - a.e <= 30
+  ON a.doc_id = b.doc_id AND a.term <> b.term
+WHERE (a.s < b.s OR (a.s = b.s AND a.term < b.term))
+  AND b.s - a.e <= 30
 """
 
 

@@ -65,18 +65,28 @@ def main(argv: list[str] | None = None) -> int:
 
         raw_path = os.path.join(args.out, "triples_raw")
         if fsutil.exists(spark, os.path.join(raw_path, "_schema.json")):
-            refreshed = refresh_triples_partitioned(
+            res = refresh_triples_partitioned(
                 spark, turns, raw_path, impl=args.impl
             )
-            # downstream stages derive from the refreshed raw table:
-            # drop their checkpoints so run_pipeline recomputes them,
-            # keep extract's (the refresh IS the extract)
-            for stage in ("link", "canonicalize", "materialize", "entities"):
-                fsutil.delete(
-                    spark,
-                    os.path.join(args.out, "_checkpoints", f"{stage}.json"),
+            if res.n_changed > 0:
+                # downstream stages derive from the refreshed raw
+                # table: drop their checkpoints so run_pipeline
+                # recomputes them, keep extract's (the refresh IS the
+                # extract).  A no-op refresh keeps every checkpoint —
+                # the whole invocation is then metadata-only.
+                for stage in ("link", "canonicalize", "materialize", "entities"):
+                    fsutil.delete(
+                        spark,
+                        os.path.join(args.out, "_checkpoints", f"{stage}.json"),
+                    )
+            print(
+                json.dumps(
+                    {
+                        "refreshed_convs": res.n_changed,
+                        "buckets_touched": res.n_buckets_touched,
+                    }
                 )
-            print(json.dumps({"refreshed_rows": refreshed.count()}))
+            )
         # no prior stage table → fall through to the full pipeline
 
     # --stage X runs the pipeline up to and including X (checkpoints

@@ -20,6 +20,7 @@ only buckets containing changed conversations.
 from __future__ import annotations
 
 import os
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,13 +83,19 @@ def _frontier_location(stage_location: str) -> str:
     return os.path.join(stage_location, "_frontier")
 
 
+class RefreshResult(NamedTuple):
+    table: DataFrame  # the refreshed stage table, read back
+    n_changed: int  # conversations re-extracted this refresh
+    n_buckets_touched: int  # p_hash buckets rewritten
+
+
 def refresh_triples_partitioned(
     spark: SparkSession,
     turns: DataFrame,
     stage_location: str,
     impl: str = "native",
-    n_buckets: int = sio.DEFAULT_BUCKETS,
-) -> DataFrame:
+    n_buckets: int | None = None,
+) -> RefreshResult:
     """Idempotent in-place refresh of a persisted Stage-A table: the
     parquet stand-in for Iceberg ``MERGE INTO`` (SURVEY.md §2 #2/#10).
 
@@ -108,7 +115,23 @@ def refresh_triples_partitioned(
     NOTHING (the triples-derived frontier of ``changed_conversations``
     would re-derive the zero-triple tail forever).  On first refresh
     of a pre-frontier table the frontier bootstraps from the triples.
-    Returns the refreshed table (read back from storage)."""
+
+    The table's bucketing comes from the ``_buckets.json`` sidecar
+    recorded at write time; passing an ``n_buckets`` that contradicts
+    it raises — a different modulus would scatter kept rows into new
+    buckets while dynamic overwrite leaves the stale ones in place."""
+    meta = sio.read_bucket_meta(spark, stage_location)
+    if meta is not None:
+        if n_buckets is not None and n_buckets != meta["n_buckets"]:
+            raise ValueError(
+                f"table at {stage_location} is bucketed with "
+                f"n_buckets={meta['n_buckets']} (from _buckets.json); "
+                f"refusing refresh with n_buckets={n_buckets}"
+            )
+        n_buckets = meta["n_buckets"]
+    elif n_buckets is None:
+        n_buckets = sio.DEFAULT_BUCKETS
+
     done = sio.read_table(spark, stage_location)
     floc = _frontier_location(stage_location)
     bootstrap = not fsutil.exists(spark, floc)
@@ -128,10 +151,17 @@ def refresh_triples_partitioned(
             | (F.col("max_idx") > F.col("done_max_idx"))
         )
         .select("conv_id")
+        .localCheckpoint(eager=True)
     )
+    n_changed = changed.count()
+    if n_changed == 0:
+        # true no-op: no stage write, no frontier write, zero files
+        # touched — callers can skip downstream recomputes entirely
+        return RefreshResult(sio.read_table(spark, stage_location), 0, 0)
 
     bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
     changed_buckets = changed.select(bucket_of.alias("p_hash")).distinct()
+    n_buckets_touched = changed_buckets.count()
     kept_in_touched = (
         done.filter(F.col("conv_id").isNotNull())
         .withColumn("p_hash", bucket_of)
@@ -189,4 +219,6 @@ def refresh_triples_partitioned(
         sio.upsert_partitions(
             frontier_replacement, floc, partition_key="conv_id", n_buckets=n_buckets
         )
-    return sio.read_table(spark, stage_location)
+    return RefreshResult(
+        sio.read_table(spark, stage_location), n_changed, n_buckets_touched
+    )

@@ -117,7 +117,10 @@ def link_with_external_fallback(
     from lexicator_spark.operators.link import link_mentions
 
     spark = triples.sparkSession
-    static = link_mentions(triples, catalog)
+    # materialized once: `static` feeds both the unresolved-tail
+    # anti-join (evaluated eagerly inside resolve_surfaces) and the
+    # returned union — without this, Stage-B linking runs twice
+    static = link_mentions(triples, catalog).localCheckpoint(eager=True)
     mention_surfaces = (
         triples.filter(F.col("pred") == rules.PRED_MENTIONS)
         .select(F.col("obj").alias("surface"))

@@ -245,7 +245,9 @@ def ivf_ann_topk(
         .collect()
     )
     x = np.array([r[1] for r in sample], dtype=np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # a zero vector must not NaN-poison k-means
+    x = x / norms
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(kmeans_iters):

@@ -190,17 +190,15 @@ def run_pipeline(
             .groupBy(F.col("obj").alias("surface_form"))
             .agg(F.count(F.lit(1)).alias("n_mentions"))
         )
-        block_key = F.concat(
-            F.substring("surface_form", 1, 1),
-            F.floor(F.length("surface_form") / 4).cast("int").cast("string"),
-        )
+        from lexicator_spark.operators.link import _block_key
+
         return (
             members.join(link_scores, "surface_form", "left")
             .join(mention_counts, "surface_form", "left")
             .select(
                 "canonical_id",
                 "surface_form",
-                block_key.alias("block_key"),
+                _block_key(F.col("surface_form")).alias("block_key"),
                 # canonical members carry score 1.0 by identity
                 F.coalesce(
                     F.col("score"),

@@ -79,10 +79,38 @@ def write_table(
     # Written through the Hadoop FS of `location` so it lands next to
     # the data on S3/HDFS too, not on the driver's local disk.
     fsutil.write_text(spark, _schema_sidecar(location), df.schema.json())
+    if partition_key is not None and "p_hash" in df.columns:
+        _write_bucket_meta(spark, location, partition_key, n_buckets)
 
 
 def _schema_sidecar(location: str) -> str:
     return os.path.join(location, "_schema.json")
+
+
+def _buckets_sidecar(location: str) -> str:
+    return os.path.join(location, "_buckets.json")
+
+
+def read_bucket_meta(spark: SparkSession, location: str) -> dict | None:
+    """{'partition_key': ..., 'n_buckets': ...} recorded at write time,
+    or None for unpartitioned / pre-sidecar tables.  Upserts MUST use
+    the recorded bucketing — a different modulus would scatter kept
+    rows into new buckets while dynamic overwrite leaves the stale
+    ones in place."""
+    path = _buckets_sidecar(location)
+    if not fsutil.exists(spark, path):
+        return None
+    return json.loads(fsutil.read_text(spark, path))
+
+
+def _write_bucket_meta(
+    spark: SparkSession, location: str, partition_key: str, n_buckets: int
+) -> None:
+    fsutil.write_text(
+        spark,
+        _buckets_sidecar(location),
+        json.dumps({"partition_key": partition_key, "n_buckets": n_buckets}),
+    )
 
 
 def upsert_partitions(
@@ -108,6 +136,7 @@ def upsert_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     fsutil.write_text(spark, _schema_sidecar(location), hashed.schema.json())
+    _write_bucket_meta(spark, location, partition_key, n_buckets)
 
 
 def read_table(spark: SparkSession, location: str) -> DataFrame:

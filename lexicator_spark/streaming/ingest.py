@@ -115,25 +115,32 @@ def stateful_replies_stream(
             state.remove()
             return
         last_idx = state.get[0] if state.exists else None
+        # a conversation's micro-batch rows can arrive split across
+        # several Arrow chunks in arbitrary chunk order — concatenate
+        # and sort GLOBALLY before walking, or a later-sorted chunk
+        # holding earlier turns would fail the monotone check and
+        # silently drop its replies
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values("turn_idx")
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("turn_idx")
-            for idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
-                idx = int(idx)
-                if last_idx is not None and idx > last_idx:
-                    rows.append(
-                        (
-                            rules.turn_uri(conv_id, idx),
-                            rules.PRED_REPLIES_TO,
-                            rules.turn_uri(conv_id, last_idx),
-                            1.0,
-                            conv_id,
-                            idx,
-                            ts,
-                        )
+        for idx, ts in zip(batch["turn_idx"], batch["ts"]):
+            idx = int(idx)
+            if last_idx is not None and idx > last_idx:
+                rows.append(
+                    (
+                        rules.turn_uri(conv_id, idx),
+                        rules.PRED_REPLIES_TO,
+                        rules.turn_uri(conv_id, last_idx),
+                        1.0,
+                        conv_id,
+                        idx,
+                        ts,
                     )
-                if last_idx is None or idx > last_idx:
-                    last_idx = idx
+                )
+            if last_idx is None or idx > last_idx:
+                last_idx = idx
         if last_idx is not None:
             state.update((last_idx,))
             if ttl_ms is not None:

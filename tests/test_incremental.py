@@ -89,8 +89,9 @@ def test_partitioned_refresh_upserts_only_touched_buckets(spark, tmp_path):
     sio.write_table(extract_triples(v1), loc, partition_key="conv_id", n_buckets=n_buckets)
     before = _file_state(loc)
 
-    refreshed = refresh_triples_partitioned(spark, v2, loc, n_buckets=n_buckets)
-    assert _tset(refreshed) == _tset(extract_triples(v2))
+    res = refresh_triples_partitioned(spark, v2, loc, n_buckets=n_buckets)
+    assert _tset(res.table) == _tset(extract_triples(v2))
+    assert res.n_changed > 0 and res.n_buckets_touched > 0
 
     changed_ids = sorted(
         {c for c in {r[0] for r in full_corpus.rows} if int(c[1:]) % 5 == 0 or int(c[1:]) % 3 == 0}
@@ -112,7 +113,18 @@ def test_partitioned_refresh_upserts_only_touched_buckets(spark, tmp_path):
     stable = _file_state(loc)
     again = refresh_triples_partitioned(spark, v2, loc, n_buckets=n_buckets)
     assert _file_state(loc) == stable
-    assert _tset(again) == _tset(refreshed)
+    assert again.n_changed == 0 and again.n_buckets_touched == 0
+    assert _tset(again.table) == _tset(res.table)
+
+    # bucketing is recorded in the sidecar: a contradicting n_buckets
+    # is refused instead of silently scattering rows
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        refresh_triples_partitioned(spark, v2, loc, n_buckets=16)
+    # and omitting it uses the recorded value
+    auto = refresh_triples_partitioned(spark, v2, loc)
+    assert auto.n_changed == 0
 
 
 def test_incremental_noop_when_nothing_changed(spark):

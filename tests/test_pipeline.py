@@ -147,28 +147,39 @@ def test_cli_full_run_then_incremental_refresh(tmp_path):
 
     out = str(tmp_path / "kg")
 
-    def run_cli(*extra):
+    def run_cli(n_convs, *extra):
         r = subprocess.run(
             [sys.executable, "-m", "lexicator_spark",
-             "--synth", "60", "--out", out, "--cpus", "4", *extra],
+             "--synth", str(n_convs), "--out", out, "--cpus", "4", *extra],
             capture_output=True, text=True, cwd="/root/repo", timeout=420,
         )
         assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
         return [json.loads(l) for l in r.stdout.splitlines()
                 if l.startswith("{")]
 
-    first = run_cli()[-1]
+    first = run_cli(60)[-1]
     assert set(first["stages_run"]) == {
         "extract", "link", "canonicalize", "materialize", "entities"
     }
 
-    msgs = run_cli("--refresh")
-    assert any("refreshed_rows" in m for m in msgs)
+    # grow the corpus → refresh re-extracts the new conversations and
+    # recomputes downstream stages
+    msgs = run_cli(80, "--refresh")
+    stats = next(m for m in msgs if "refreshed_convs" in m)
+    assert stats["refreshed_convs"] > 0 and stats["buckets_touched"] > 0
     final = msgs[-1]
     assert "extract" in final["stages_skipped"]
     assert {"link", "canonicalize", "materialize", "entities"} <= set(
         final["stages_run"]
     )
+
+    # same corpus again → true no-op: nothing re-extracted, every
+    # checkpoint kept, no stage recomputed
+    msgs = run_cli(80, "--refresh")
+    stats = next(m for m in msgs if "refreshed_convs" in m)
+    assert stats == {"refreshed_convs": 0, "buckets_touched": 0}
+    final = msgs[-1]
+    assert final["stages_run"] == []
 
 
 def test_lineage_written(spark, tmp_path):
