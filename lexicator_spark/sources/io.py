@@ -161,5 +161,25 @@ def read_table(spark: SparkSession, location: str) -> DataFrame:
     return df.drop("p_hash") if "p_hash" in df.columns else df
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    sort: bool = True,
+) -> None:
+    """Catalog-managed bucketed table (``bucketBy`` + ``sortBy``): two
+    tables bucketed the same way on the join key co-locate, so their
+    equi-join runs with ZERO exchange — the pre-shuffled layout big
+    repeated joins want at 100 TB (asserted in tests/test_plans.py).
+    Unlike the ``p_hash`` directory partitioning (which targets
+    partition PRUNING and complete-conversation locality), bucketing
+    targets shuffle elimination; the two compose."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort:
+        writer = writer.sortBy(bucket_key)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
