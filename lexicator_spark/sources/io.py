@@ -183,3 +183,34 @@ def write_bucketed_table(
 
 def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_turns(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
+    """Transcript-turn source for the formats raw conversation logs
+    actually arrive in.  The schema is always DECLARED (never
+    inferred — inference is a full extra pass over 100 TB and can
+    drift between drops); timestamps in JSON/CSV are ISO-8601 strings
+    parsed explicitly.  Columns are selected by name so extra fields
+    in the source are pruned at scan."""
+    from lexicator_spark.streaming.ingest import TURN_SCHEMA
+
+    if format == "parquet":
+        return spark.read.parquet(path).select(
+            [f.name for f in TURN_SCHEMA.fields]
+        )
+    if format not in ("json", "csv"):
+        raise ValueError(f"unsupported transcript format {format!r}")
+    from pyspark.sql import types as T
+
+    string_ts = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.StringType(), f.nullable)
+            for f in TURN_SCHEMA.fields
+        ]
+    )
+    reader = spark.read.schema(string_ts)
+    if format == "json":
+        df = reader.json(path)
+    else:
+        df = reader.option("header", "true").csv(path)
+    return df.withColumn("ts", F.to_timestamp(F.col("ts")))

@@ -101,3 +101,52 @@ def test_mention_spans_are_valid_on_arbitrary_corpora(spark, rows, impl):
         (f"{r.conv_id}#{r.turn_idx}", r.obj, r.span.start, r.span.end) for r in out
     }
     assert got == oracle.mention_spans_oracle(rows)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_partitioned_refresh_equals_recompute_on_random_evolutions(
+    spark, tmp_path_factory, data
+):
+    """For arbitrary append-only corpus evolutions (conversations
+    added, conversations extended, some absent in v1), the
+    partition-level refresh equals a full recompute and a second
+    refresh is a no-op."""
+    from lexicator_spark.operators.incremental import refresh_triples_partitioned
+    from lexicator_spark.sources import io as sio
+
+    seed = data.draw(st.integers(0, 1000))
+    n_convs = data.draw(st.integers(8, 30))
+    n_buckets = data.draw(st.sampled_from([4, 8]))
+    full = synth.make_corpus(n_convs=n_convs, seed=seed, shuffled=False)
+    by_conv: dict = {}
+    for r in full.rows:
+        by_conv.setdefault(r[0], []).append(r)
+    v1_rows = []
+    for conv, rows_ in by_conv.items():
+        keep = data.draw(st.integers(0, len(rows_)))  # prefix (append-only)
+        v1_rows.extend(sorted(rows_, key=lambda r: r[1])[:keep])
+
+    loc = str(tmp_path_factory.mktemp("refresh") / "triples_raw")
+    v1 = synth.corpus_df(spark, synth.Corpus(rows=v1_rows))
+    v2 = synth.corpus_df(spark, full)
+    sio.write_table(
+        extract_triples(v1), loc, partition_key="conv_id", n_buckets=n_buckets
+    )
+    res = refresh_triples_partitioned(spark, v2, loc)
+    got = {
+        (r.subj, r.pred, r.obj, r.conv_id, r.turn_idx)
+        for r in res.table.select("subj", "pred", "obj", "conv_id", "turn_idx").collect()
+    }
+    want = {
+        (r.subj, r.pred, r.obj, r.conv_id, r.turn_idx)
+        for r in extract_triples(v2)
+        .select("subj", "pred", "obj", "conv_id", "turn_idx")
+        .collect()
+    }
+    assert got == want
+    assert refresh_triples_partitioned(spark, v2, loc).n_changed == 0
