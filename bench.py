@@ -111,8 +111,14 @@ def main() -> None:
         shutil.rmtree(corpus_path, ignore_errors=True)
         synth.write_corpus_parquet(spark, corpus_path, n_convs=KG_N_CONVS)
 
-    # JVM/Arrow warm-up (not timed)
+    # JVM/Arrow warm-up + Python-worker spawn (not timed) — queries
+    # using pandas UDFs (LSH bucket codes) measure steady state
     _force(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000))
+    _force(
+        spark.range(1000)
+        .toDF("x")
+        .select(F.pandas_udf(lambda s: s + 1, "long")(F.col("x")))
+    )
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
