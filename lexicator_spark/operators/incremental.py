@@ -53,28 +53,44 @@ def changed_conversations(turns: DataFrame, done_triples: DataFrame) -> DataFram
     )
 
 
+def _delta_good_triples(turns: DataFrame, changed: DataFrame, impl: str) -> DataFrame:
+    """Re-extract the changed conversations, good triples only (the
+    error channel stays out of stage tables, same as stage_a).  Joins
+    carry no broadcast hint: ``changed`` is unbounded (a bulk backfill
+    can touch most conversations), so AQE decides broadcast-vs-shuffle
+    from the runtime size instead of an 8-GB-limited forced hint."""
+    from lexicator_spark.operators.extract import split_rejects
+
+    delta_turns = turns.join(changed, "conv_id", "left_semi")
+    good, _rejects = split_rejects(extract_triples(delta_turns, impl=impl))
+    return good
+
+
 def extract_incremental(
     turns: DataFrame, done_triples: DataFrame, impl: str = "native"
 ) -> DataFrame:
-    """Triples for new/changed conversations only.  Union the result
-    with the untouched part of the stage table (or MERGE under
+    """Good triples for new/changed conversations only.  Union the
+    result with the untouched part of the stage table (or MERGE under
     Iceberg) to refresh the stage."""
     changed = changed_conversations(turns, done_triples)
-    delta_turns = turns.join(F.broadcast(changed), "conv_id", "left_semi")
-    return extract_triples(delta_turns, impl=impl)
+    return _delta_good_triples(turns, changed, impl)
 
 
 def refresh_triples(
     turns: DataFrame, done_triples: DataFrame, impl: str = "native"
 ) -> DataFrame:
     """Full refreshed stage table: untouched conversations' existing
-    triples + re-derived triples for changed conversations."""
-    changed = changed_conversations(turns, done_triples)
-    kept = done_triples.join(F.broadcast(changed), "conv_id", "left_anti")
+    triples + re-derived triples for changed conversations.  The
+    changed-conversation set is computed ONCE and feeds both the keep
+    anti-join and the delta extraction."""
+    changed = changed_conversations(turns, done_triples).localCheckpoint(
+        eager=True
+    )
+    kept = done_triples.join(changed, "conv_id", "left_anti")
     # same_as/canonical rows carry conv_id NULL — they are global and
     # always recomputed downstream, never kept here
     kept = kept.filter(F.col("conv_id").isNotNull())
-    return kept.unionByName(extract_incremental(turns, done_triples, impl=impl))
+    return kept.unionByName(_delta_good_triples(turns, changed, impl))
 
 
 def _frontier_location(stage_location: str) -> str:
@@ -162,41 +178,36 @@ def refresh_triples_partitioned(
     bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
     changed_buckets = changed.select(bucket_of.alias("p_hash")).distinct()
     n_buckets_touched = changed_buckets.count()
+    # no forced broadcast hints: `changed` is unbounded (bulk backfill
+    # days touch most conversations) — AQE picks broadcast when the
+    # runtime size allows
     kept_in_touched = (
         done.filter(F.col("conv_id").isNotNull())
         .withColumn("p_hash", bucket_of)
-        .join(F.broadcast(changed_buckets), "p_hash", "left_semi")
+        .join(changed_buckets, "p_hash", "left_semi")
         .drop("p_hash")
-        .join(F.broadcast(changed), "conv_id", "left_anti")
+        .join(changed, "conv_id", "left_anti")
     )
-    delta_turns = turns.join(F.broadcast(changed), "conv_id", "left_semi")
-    # the stage table holds GOOD triples only — the refresh honors the
-    # error-channel split the same way stage_a does (rejects of a
-    # delta are dropped here; the rejects table is an append-only log
-    # maintained by full runs)
-    from lexicator_spark.operators.extract import split_rejects
-
-    delta_good, _delta_rejects = split_rejects(
-        extract_triples(delta_turns, impl=impl)
+    replacement = kept_in_touched.unionByName(
+        _delta_good_triples(turns, changed, impl)
     )
-    replacement = kept_in_touched.unionByName(delta_good)
     # frontier maintenance: first refresh of a pre-frontier table
     # persists the COMPLETE frontier (one-time full write); afterwards
     # it is bucket-upserted exactly like the stage table
     new_frontier = (
-        latest.join(F.broadcast(changed), "conv_id", "left_semi")
+        latest.join(changed, "conv_id", "left_semi")
         .select("conv_id", F.col("max_idx").alias("done_max_idx"))
     )
     if bootstrap:
         frontier_replacement = frontier.join(
-            F.broadcast(changed), "conv_id", "left_anti"
+            changed, "conv_id", "left_anti"
         ).unionByName(new_frontier)
     else:
         kept_frontier = (
             frontier.withColumn("p_hash", bucket_of)
-            .join(F.broadcast(changed_buckets), "p_hash", "left_semi")
+            .join(changed_buckets, "p_hash", "left_semi")
             .drop("p_hash")
-            .join(F.broadcast(changed), "conv_id", "left_anti")
+            .join(changed, "conv_id", "left_anti")
         )
         frontier_replacement = kept_frontier.unionByName(new_frontier)
 

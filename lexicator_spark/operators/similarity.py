@@ -7,8 +7,11 @@
   higher-order functions (whole-stage codegen, no Python).
 - ``lsh_ann_topk``: the scale path — random-hyperplane (signed
   projection) LSH buckets; candidates only within matching buckets,
-  then exact rerank.  Hyperplanes are seeded numpy, shipped as a
-  literal array column (deterministic across runs/cluster sizes).
+  then exact rerank.  Hyperplanes are seeded numpy (deterministic
+  across runs/cluster sizes) applied as ONE BLAS matmul per Arrow
+  batch inside a pandas UDF — the measured exception to the
+  JVM-only rule (see ``with_lsh_buckets``); joins and rerank stay
+  JVM-side.
 
 At 100 TB the brute-force path is a deliberate full scan (still
 embarrassingly parallel: no shuffle until the final per-probe top-k
@@ -54,11 +57,18 @@ def cosine_topk(
     Output: (probe_id, neighbor_id, score) — score rounded so results
     are stable across summation orders / engines.  Self-matches are
     excluded."""
+    # norms are computed ONCE per row before the join — inside the
+    # join they would re-evaluate per candidate pair (O(N·P·d) folds
+    # instead of O((N+P)·d))
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("p_vec"),
+        _norm(F.col(vec_col)).alias("p_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(p))
@@ -67,7 +77,7 @@ def cosine_topk(
             "score",
             F.round(
                 _dot(F.col("p_vec"), F.col("c_vec"))
-                / (_norm(F.col("p_vec")) * _norm(F.col("c_vec"))),
+                / (F.col("p_norm") * F.col("c_norm")),
                 round_to,
             ),
         )
@@ -174,27 +184,44 @@ def embedding_near_dup_pairs(
 
     Scores are rounded then emitted as integer micro-units so results
     are stable across engines and summation orders."""
-    a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     if blocked:
         if dim is None:
             dim = len(corpus.select(vec_col).first()[0])
         planes = hyperplanes(dim, n_tables * bits_per_table, seed)
+        # norm BEFORE the bucket explode (once per vector, not once
+        # per (vector, table) row)
         ab = with_lsh_buckets(
-            corpus.select(id_col, vec_col), planes, n_tables, bits_per_table, vec_col
+            corpus.select(
+                id_col, vec_col, _norm(F.col(vec_col)).alias("nrm")
+            ),
+            planes, n_tables, bits_per_table, vec_col,
         )
-        l = ab.select("bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-        r = ab.select("bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        l = ab.select(
+            "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        r = ab.select(
+            "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
         cand = (
             l.join(r, "bucket")
             .filter(F.col("a") < F.col("b"))
-            .select("a", "va", "b", "vb")
+            .select("a", "va", "na", "b", "vb", "nb")
             .dropDuplicates(["a", "b"])
         )
     else:
+        a = corpus.select(
+            F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+            _norm(F.col(vec_col)).alias("na"),
+        )
+        b = corpus.select(
+            F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+            _norm(F.col(vec_col)).alias("nb"),
+        )
         cand = a.crossJoin(b).filter(F.col("a") < F.col("b"))
     cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         round_to,
     )
     return (
@@ -228,15 +255,16 @@ def ivf_ann_topk(
     Centroids come from a deterministic seeded k-means over a BOUNDED
     corpus sample (the one driver-side step, explicit and sized; at
     100 TB you train the quantizer once offline the same way).  Cell
-    assignment and rerank are pure Catalyst; the corpus is written
-    bucketed by ``cell`` at scale so probes read only matching cells.
+    assignment is one BLAS matmul per Arrow batch (same measured
+    reasoning as ``with_lsh_buckets`` — unrolled centroid literals
+    blow up driver analysis and run interpreted); joins and the exact
+    rerank are JVM-side.  The corpus is written bucketed by ``cell``
+    at scale so probes read only matching cells.
 
     Default ``n_probe=8`` of 16 cells reflects the near-uniform test
     embeddings (top-1 neighbors at cosine ~0.5 straddle cells);
     genuinely clustered embeddings keep recall with far fewer probes
     — recall vs brute force is gated in pytest."""
-    import numpy as np
-
     # --- train the coarse quantizer on a deterministic sample --------
     sample = (
         corpus.select(id_col, vec_col)
@@ -258,35 +286,33 @@ def ivf_ann_topk(
             if len(members):
                 m = members.mean(axis=0)
                 cent[c] = m / (np.linalg.norm(m) or 1.0)
-    cent_lits = [F.array(*[F.lit(float(v)) for v in c]) for c in cent]
+    # centroid projections as one matmul per Arrow batch; cosine
+    # argmax == dot argmax because centroids are unit-norm and the
+    # row's own norm is a positive constant across cells
+    @F.pandas_udf("int")
+    def _best_cell(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series((x @ cent.T).argmax(axis=1).astype("int32"))
 
-    def cell_scores(vec):
-        """array<struct<score,cell>> — cosine against each centroid
-        (centroids are unit-norm, so dot/|v| suffices)."""
-        nv = _norm(vec)
-        return F.array(
-            *[
-                F.struct(
-                    F.round(_dot(vec, cl) / nv, 9).alias("score"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, cl in enumerate(cent_lits)
-            ]
-        )
+    @F.pandas_udf("array<int>")
+    def _top_cells(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        sims = x @ cent.T
+        # stable argsort on -sims: ties keep cell-ascending order
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(order.astype("int32").tolist())
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        _best_cell(F.col(vec_col)).alias("cell"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("p_vec"),
-        F.slice(
-            F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, n_probe
-        ).alias("top_cells"),
-    ).select(
-        "probe_id", "p_vec", F.explode(F.col("top_cells")["cell"]).alias("cell")
+        _norm(F.col(vec_col)).alias("p_norm"),
+        F.explode(_top_cells(F.col(vec_col))).alias("cell"),
     )
     cand = (
         c.join(F.broadcast(p), "cell")
@@ -297,7 +323,7 @@ def ivf_ann_topk(
         "score",
         F.round(
             _dot(F.col("p_vec"), F.col("c_vec"))
-            / (_norm(F.col("p_vec")) * _norm(F.col("c_vec"))),
+            / (F.col("p_norm") * F.col("c_norm")),
             6,
         ),
     )
@@ -341,11 +367,19 @@ def lsh_ann_topk(
         dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_tables * bits_per_table, seed)
     c = with_lsh_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
+        ),
         planes, n_tables, bits_per_table, "c_vec",
     )
     p = with_lsh_buckets(
-        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("p_vec")),
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("p_vec"),
+            _norm(F.col(vec_col)).alias("p_norm"),
+        ),
         planes, n_tables, bits_per_table, "p_vec",
         multiprobe=multiprobe,
     )
@@ -358,7 +392,7 @@ def lsh_ann_topk(
         "score",
         F.round(
             _dot(F.col("p_vec"), F.col("c_vec"))
-            / (_norm(F.col("p_vec")) * _norm(F.col("c_vec"))),
+            / (F.col("p_norm") * F.col("c_norm")),
             6,
         ),
     )

@@ -47,19 +47,32 @@ def stream_turns(spark: SparkSession, input_dir: str) -> DataFrame:
 def start_extract_stream(
     turns_stream: DataFrame, out_dir: str, checkpoint_dir: str
 ):
-    """readStream → Stage-A extraction → append sink, batch-stage code
-    reused inside foreachBatch.  NOTE: ``replies_to`` needs the
-    previous turn, which may sit in an earlier micro-batch; the batch
-    recompute over the stage table (run_pipeline) remains the source
-    of truth — the stream gives low-latency provisional triples."""
+    """readStream → Stage-A extraction → idempotent per-epoch sink,
+    batch-stage code reused inside foreachBatch.  Exactly-once: the
+    output is partitioned by ``epoch_id`` and written with DYNAMIC
+    partition overwrite, so a micro-batch retried after a crash
+    rewrites its own epoch partition instead of appending duplicates.
+    NOTE: ``replies_to`` needs the previous turn, which may sit in an
+    earlier micro-batch; use ``start_extract_stream_stateful`` for
+    cross-batch replies, or the batch recompute (run_pipeline) as the
+    source of truth."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
         good, _rejects = split_rejects(extract_triples(batch_df))
-        (
-            good.withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
         )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                good.withColumn("epoch_id", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .partitionBy("epoch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (
         turns_stream.writeStream.foreachBatch(process)
@@ -248,11 +261,12 @@ def dedup_turns_stream(
 
 
 def windowed_turn_counts(turns_stream: DataFrame) -> DataFrame:
-    """Watermarked sliding-window turn counts per role — late rows
-    beyond 10 minutes are dropped deterministically."""
+    """Watermarked sliding-window turn counts per role (10-minute
+    windows sliding every 5) — late rows beyond the 10-minute
+    watermark are dropped deterministically."""
     return (
         turns_stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "5 minutes"), F.col("role"))
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), F.col("role"))
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select(F.col("window.start").alias("bucket"), "role", "n_turns")
     )
