@@ -211,6 +211,91 @@ GROUP BY p_brand
 """
 
 
+def _join_left_outer(spark, sf):
+    """Left outer join with null-side aggregation: every customer,
+    order counts/revenue where present, zeros where not."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            _cents(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias(
+                "big_revenue_c"
+            ),
+        )
+    )
+
+
+_JOIN_LEFT_OUTER_SQL = """
+SELECT c_custkey,
+       count(o_orderkey) AS n_big_orders,
+       CAST(ROUND(coalesce(sum(o_totalprice), 0.0) * 100, 0) AS BIGINT) AS big_revenue_c
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 150000
+GROUP BY c_custkey
+"""
+
+
+def _join_full_outer(spark, sf):
+    """Full outer join over two disjointly-filtered order slices:
+    rows surviving on either side, null-tagged."""
+    orders = _t(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey_a"),
+        F.col("o_orderkey").alias("key_a"),
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey_b"),
+        F.col("o_orderkey").alias("key_b"),
+    )
+    return (
+        a.join(b, a.key_a == b.key_b, "full")
+        .select(
+            F.coalesce(F.col("key_a"), F.col("key_b")).alias("o_orderkey"),
+            F.col("key_a").isNotNull().alias("is_urgent"),
+            F.col("key_b").isNotNull().alias("is_finished"),
+        )
+    )
+
+
+_JOIN_FULL_OUTER_SQL = """
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       a.o_orderkey IS NOT NULL AS is_urgent,
+       b.o_orderkey IS NOT NULL AS is_finished
+FROM (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+FULL OUTER JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') b
+  ON a.o_orderkey = b.o_orderkey
+"""
+
+
+def _window_distribution(spark, sf):
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    over order value per priority class."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_WINDOW_DISTRIBUTION_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def _semi_join(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
@@ -1207,9 +1292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": _q5,
         "q17_small_quantity_revenue": _q17,
         "join_broadcast_enrich": _join_broadcast,
+        "join_left_outer": _join_left_outer,
+        "join_full_outer": _join_full_outer,
         "semi_join": _semi_join,
         "anti_join": _anti_join,
         "window_topk_per_group": _window_topk,
+        "window_distribution": _window_distribution,
         "window_running_sum": _window_running,
         "window_lag_lead": _window_lag_lead,
         "agg_rollup": _rollup,
@@ -1264,9 +1352,12 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier": _Q5_SQL,
         "q17_small_quantity_revenue": _Q17_SQL,
         "join_broadcast_enrich": _JOIN_BROADCAST_SQL,
+        "join_left_outer": _JOIN_LEFT_OUTER_SQL,
+        "join_full_outer": _JOIN_FULL_OUTER_SQL,
         "semi_join": _SEMI_JOIN_SQL,
         "anti_join": _ANTI_JOIN_SQL,
         "window_topk_per_group": _WINDOW_TOPK_SQL,
+        "window_distribution": _WINDOW_DISTRIBUTION_SQL,
         "window_running_sum": _WINDOW_RUNNING_SQL,
         "window_lag_lead": _WINDOW_LAG_LEAD_SQL,
         "agg_rollup": _ROLLUP_SQL,
