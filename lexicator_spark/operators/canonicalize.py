@@ -108,8 +108,9 @@ def connected_components(
 ) -> DataFrame:
     """edges(u string, v string) → assignments(node string, comp string)
     where ``comp`` is the lexicographic min node of the component.
-    Nodes only appear if they occur in an edge (callers union isolated
-    nodes as self-edges if needed).
+    Nodes only appear if they occur in an edge; callers union isolated
+    nodes as SELF-EDGES, which come back as their own single-node
+    component (tested).
 
     Hybrid execution: large-star/small-star rounds shrink the edge set
     monotonically; once it fits under ``driver_finish_threshold`` (an
@@ -118,11 +119,21 @@ def connected_components(
     union-find.  Set the threshold to 0 to force the fully distributed
     fixpoint (tests exercise both paths)."""
     spark = edges.sparkSession
-    cur = (
-        edges.select(F.col("u").cast("string"), F.col("v").cast("string"))
-        .filter(F.col("u") != F.col("v"))
+    typed = edges.select(F.col("u").cast("string"), F.col("v").cast("string"))
+    # isolated nodes arrive as self-edges per the contract above; they
+    # take no part in the fixpoint (no neighbors) but MUST appear in
+    # the output as their own component
+    isolated = (
+        typed.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"), F.col("u").alias("comp"))
         .distinct()
     )
+
+    def with_isolated(assignments: DataFrame) -> DataFrame:
+        extra = isolated.join(assignments.select("node"), "node", "left_anti")
+        return assignments.unionByName(extra)
+
+    cur = typed.filter(F.col("u") != F.col("v")).distinct()
     fp = _edge_fingerprint(cur)
     converged = False
     for _ in range(max_iter):
@@ -131,7 +142,9 @@ def connected_components(
             # round, so union-find over the current edges yields the
             # same components as running the fixpoint to completion
             # (asserted equal in tests).
-            return _driver_union_find(spark, [(r.u, r.v) for r in cur.collect()])
+            return with_isolated(
+                _driver_union_find(spark, [(r.u, r.v) for r in cur.collect()])
+            )
         # right-size parallelism to the live edge count: running wide
         # shuffles over a few thousand edges is pure scheduling
         # overhead.  ~200k edges per partition keeps tasks meaningful.
@@ -158,7 +171,7 @@ def connected_components(
     # at fixpoint every edge is (node, root)
     assignments = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     roots = cur.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
-    return assignments.union(roots).distinct()
+    return with_isolated(assignments.union(roots).distinct())
 
 
 def canonical_of_triples(assignments: DataFrame) -> DataFrame:

@@ -161,18 +161,42 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return toks.groupBy("doc_id").agg(*aggs).select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Candidate pairs via banded MinHash-LSH (8 bands × 4 rows),
-    verified by exact token Jaccard.  The band explode and bucket
-    self-join carry (bucket, doc_id) ONLY — full token arrays are
-    joined back by doc_id solely for the verify step, so shuffle bytes
-    scale with the signature (fixed) + candidate count, never with
-    band-count × token payload."""
+def pick_banding(threshold: float, n_hashes: int = _N_HASHES) -> int:
+    """Number of LSH bands whose S-curve midpoint ``(1/b)^(1/r)`` sits
+    at or below the requested Jaccard threshold — the most SELECTIVE
+    banding that still gives pairs at the threshold a better-than-even
+    candidate probability.  A fixed banding silently loses recall for
+    thresholds below its midpoint (8×4's midpoint is ~0.595)."""
+    candidates = [b for b in (2, 4, 8, 16, 32) if n_hashes % b == 0]
+    viable = [
+        b
+        for b in candidates
+        if (1.0 / b) ** (b / n_hashes) <= threshold  # midpoint = (1/b)^(1/r)
+    ]
+    return min(viable) if viable else max(candidates)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.6, n_bands: int | None = None
+) -> DataFrame:
+    """Candidate pairs via banded MinHash-LSH, verified by exact token
+    Jaccard.  The banding ADAPTS to the threshold by default
+    (``pick_banding``: 0.6 → 8 bands × 4 rows, 0.3 → 16 × 2 …), so low
+    thresholds don't silently lose recall to a fixed S-curve; pass
+    ``n_bands`` to pin it.  The band explode and bucket self-join
+    carry (bucket, doc_id) ONLY — full token arrays are joined back by
+    doc_id solely for the verify step, so shuffle bytes scale with the
+    signature (fixed) + candidate count, never with band-count × token
+    payload."""
+    if n_bands is None:
+        n_bands = pick_banding(threshold)
+    if _N_HASHES % n_bands:
+        raise ValueError(f"n_bands must divide {_N_HASHES}, got {n_bands}")
     base = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     sigs = minhash_signatures(docs)
-    rows_per_band = _N_HASHES // _N_BANDS
+    rows_per_band = _N_HASHES // n_bands
     band_sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
     )
     bands = (
@@ -230,10 +254,18 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
-    Pigeonhole blocking on four 16-bit chunks (any pair within
-    Hamming ≤ 3 shares at least one chunk exactly).  Fingerprints ride
-    the chunk join as two scalar longs — nothing variable-width ever
-    shuffles."""
+    Pigeonhole blocking on ``max_hamming + 1`` disjoint bit chunks —
+    any pair within the Hamming budget must agree exactly on at least
+    one chunk, so recall is guaranteed for EVERY ``max_hamming`` (the
+    chunk layout adapts; 3 → the classic four 16-bit chunks).
+    Fingerprints ride the chunk join as two scalar longs — nothing
+    variable-width ever shuffles."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, rem = divmod(64, n_chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sh = simhash_fingerprints(docs)
     chunks = sh.select(
         "doc_id",
@@ -241,8 +273,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sh"), k * 16).bitwiseAND(F.lit(0xFFFF))
-                    for k in range(4)
+                    (
+                        F.col("sh")  # single 64-bit chunk: no mask fits a long
+                        if w == 64
+                        else F.shiftrightunsigned(F.col("sh"), off).bitwiseAND(
+                            F.lit((1 << w) - 1)
+                        )
+                    )
+                    for off, w in zip(offsets, widths)
                 ]
             )
         ).alias("chunk_idx", "chunk"),

@@ -66,6 +66,20 @@ def build_catalog(spark) -> DataFrame:
     )
 
 
+def mention_surfaces(triples: DataFrame) -> DataFrame:
+    """DISTINCT linkable mention surfaces of a triple table — the one
+    definition of the linker's input universe, shared by the static
+    linker and the external-resolver fallback so their anti-join can
+    never drift (empty normalized surfaces are unlinkable and the one
+    input where the Catalyst rule mirrors would diverge — dropped)."""
+    return (
+        triples.filter(F.col("pred") == rules.PRED_MENTIONS)
+        .select(F.col("obj").alias("surface"))
+        .filter(F.length(F.col("surface")) > 0)
+        .distinct()
+    )
+
+
 def link_mentions(
     triples: DataFrame,
     catalog: DataFrame,
@@ -81,14 +95,7 @@ def link_mentions(
     alias) — fully deterministic tie-breaking.
     """
     surfaces = (
-        triples.filter(F.col("pred") == rules.PRED_MENTIONS)
-        .select(F.col("obj").alias("surface"))
-        # empty normalized surfaces are unlinkable by definition (no
-        # shingles) and are the one input where the Catalyst mirrors of
-        # rules.block_key/char_shingles would diverge from Python —
-        # drop them before the mirrors ever see one.
-        .filter(F.length(F.col("surface")) > 0)
-        .distinct()
+        mention_surfaces(triples)
         .withColumn("block", _block_key(F.col("surface")))
         .withColumn("shingles", _shingles(F.col("surface")))
     )

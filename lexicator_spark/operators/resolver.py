@@ -82,7 +82,12 @@ def resolve_surfaces(
     ``resolver_fn``; fresh results are appended to the cache."""
     distinct = surfaces.select("surface").distinct()
     if cache_location is None:
-        return _resolve_new(distinct, resolver_fn, chunk_size)
+        # materialized: the resolver is side-effectful (rate-limited
+        # external calls) — it must run once, not once per downstream
+        # action / task retry
+        return _resolve_new(distinct, resolver_fn, chunk_size).localCheckpoint(
+            eager=True
+        )
 
     if fsutil.exists(spark, cache_location):
         cache = sio.read_table(spark, cache_location)
@@ -114,20 +119,14 @@ def link_with_external_fallback(
     tail, never the corpus."""
     from lexicator_spark import rules
     from lexicator_spark.operators.extract import null_span
-    from lexicator_spark.operators.link import link_mentions
+    from lexicator_spark.operators.link import link_mentions, mention_surfaces
 
     spark = triples.sparkSession
     # materialized once: `static` feeds both the unresolved-tail
     # anti-join (evaluated eagerly inside resolve_surfaces) and the
     # returned union — without this, Stage-B linking runs twice
     static = link_mentions(triples, catalog).localCheckpoint(eager=True)
-    mention_surfaces = (
-        triples.filter(F.col("pred") == rules.PRED_MENTIONS)
-        .select(F.col("obj").alias("surface"))
-        .filter(F.length(F.col("surface")) > 0)
-        .distinct()
-    )
-    unresolved = mention_surfaces.join(
+    unresolved = mention_surfaces(triples).join(
         static.select(F.col("subj").alias("surface")), "surface", "left_anti"
     )
     external = resolve_surfaces(

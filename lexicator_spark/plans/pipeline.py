@@ -85,8 +85,15 @@ def run_pipeline(
     resume: bool = True,
     impl: str = "native",
     n_buckets: int = sio.DEFAULT_BUCKETS,
+    lineage_input_counts: bool = True,
 ) -> PipelineResult:
     """Run (or resume) the full KG-construction pipeline.
+
+    ``lineage_input_counts=False`` records -1 for ``rows_in`` instead
+    of counting each stage's input: stage inputs that are persisted
+    parquet count from footer metadata (cheap), but a raw CSV/JSON
+    turns source would be re-parsed end to end just for the lineage
+    row — disable it there.
 
     Stage tables under ``out_root``:
       triples_raw/   Stage A output (+ rejects/ error channel)
@@ -109,7 +116,11 @@ def run_pipeline(
         wall_ms = int((time.monotonic() - t0) * 1000)
         row = {
             "stage": name,
-            "rows_in": in_df.count() if in_df is not None else -1,
+            "rows_in": (
+                in_df.count()
+                if in_df is not None and lineage_input_counts
+                else -1
+            ),
             "rows_out": rows_out,
             "wall_ms": wall_ms,
             "n_partitions": persisted.rdd.getNumPartitions(),

@@ -45,6 +45,19 @@ def with_partition_hash(df: DataFrame, key: str = "conv_id", n_buckets: int = DE
     return df.withColumn("p_hash", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
 
 
+def _is_path(location: str) -> bool:
+    """Path-vs-catalog-table-name discrimination for the storage seam:
+    URIs (s3a://, hdfs://, file:) and absolute/relative filesystem
+    paths are paths; bare dotted identifiers are catalog tables.
+    ``os.path.isabs`` alone misclassifies object-store URIs — exactly
+    the deployment where an Iceberg catalog is configured."""
+    return (
+        os.path.isabs(location)
+        or "://" in location
+        or location.startswith(("./", "../", "file:"))
+    )
+
+
 def write_table(
     df: DataFrame,
     location: str,
@@ -55,7 +68,7 @@ def write_table(
     """Write a stage table.  ``location`` is a path (parquet backend)
     or a catalog table name (iceberg backend, when available)."""
     spark = df.sparkSession
-    if iceberg_available(spark) and not os.path.isabs(location):
+    if iceberg_available(spark) and not _is_path(location):
         writer = df.writeTo(location)
         if mode == "overwrite":
             writer.createOrReplace()
@@ -124,8 +137,21 @@ def upsert_partitions(
     rewrites ONLY the ``p_hash`` buckets present in ``df``; every
     other bucket's files are left untouched.  Callers must therefore
     pass complete replacement content for every bucket they touch
-    (see ``operators.incremental.refresh_triples_partitioned``)."""
+    (see ``operators.incremental.refresh_triples_partitioned``).
+
+    The target's recorded bucketing (``_buckets.json``) is enforced
+    HERE at the seam: a different modulus would scatter replacement
+    rows into new buckets while the stale ones survive untouched."""
     spark = df.sparkSession
+    meta = read_bucket_meta(spark, location)
+    if meta is not None and (
+        meta["n_buckets"] != n_buckets or meta["partition_key"] != partition_key
+    ):
+        raise ValueError(
+            f"table at {location} is bucketed as "
+            f"{meta['partition_key']}%{meta['n_buckets']} (_buckets.json); "
+            f"refusing upsert with {partition_key}%{n_buckets}"
+        )
     hashed = with_partition_hash(df, partition_key, n_buckets)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -140,7 +166,7 @@ def upsert_partitions(
 
 
 def read_table(spark: SparkSession, location: str) -> DataFrame:
-    if iceberg_available(spark) and not os.path.isabs(location):
+    if iceberg_available(spark) and not _is_path(location):
         return spark.read.table(location)
     from pyspark.sql import types as T
 
@@ -154,8 +180,17 @@ def read_table(spark: SparkSession, location: str) -> DataFrame:
         reader = reader.schema(schema)
     try:
         df = reader.parquet(location)
-    except Exception:
-        if schema is None:
+    except Exception as exc:
+        # ONLY the zero-data-files case (a write of an all-empty frame
+        # leaves just the sidecars) reads back as an empty table;
+        # anything else — lost files, permissions, transient store
+        # errors — must raise, or a resumed pipeline would silently
+        # materialize an empty graph as success
+        empty_shaped = any(
+            marker in str(exc)
+            for marker in ("PATH_NOT_FOUND", "Path does not exist", "UNABLE_TO_INFER_SCHEMA")
+        )
+        if schema is None or not empty_shaped:
             raise
         df = spark.createDataFrame([], schema)
     return df.drop("p_hash") if "p_hash" in df.columns else df
@@ -212,5 +247,14 @@ def read_turns(spark: SparkSession, path: str, format: str = "parquet") -> DataF
     if format == "json":
         df = reader.json(path)
     else:
-        df = reader.option("header", "true").csv(path)
+        # multiLine + explicit quote/escape: transcript text routinely
+        # embeds newlines and quotes — without these the declared
+        # schema maps line fragments to wrong columns silently
+        df = (
+            reader.option("header", "true")
+            .option("multiLine", "true")
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(path)
+        )
     return df.withColumn("ts", F.to_timestamp(F.col("ts")))

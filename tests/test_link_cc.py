@@ -94,6 +94,28 @@ def test_cc_self_loop_and_dup_edges(spark):
     assert got == {("a", "a"), ("b", "a")}
 
 
+def test_cc_isolated_nodes_as_self_edges(spark):
+    """The documented contract: isolated nodes unioned as self-edges
+    come back as their own single-node component — on the driver-finish
+    path AND the fully distributed path."""
+    from lexicator_spark.operators.canonicalize import connected_components
+
+    edges = [("iso1", "iso1"), ("a", "b"), ("iso2", "iso2"), ("b", "c")]
+    expected = {
+        ("iso1", "iso1"), ("iso2", "iso2"),
+        ("a", "a"), ("b", "a"), ("c", "a"),
+    }
+    for threshold in (500_000, 0):  # driver finish / distributed fixpoint
+        df = spark.createDataFrame(edges, "u string, v string")
+        got = {
+            (r.node, r.comp)
+            for r in connected_components(
+                df, driver_finish_threshold=threshold
+            ).collect()
+        }
+        assert got == expected, f"threshold={threshold}"
+
+
 def test_cc_matches_union_find_on_random_graph(spark):
     import random
 
