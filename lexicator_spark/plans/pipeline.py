@@ -70,12 +70,36 @@ def _append_lineage(spark: SparkSession, root: str, row: dict) -> None:
     # slice just to write one row (~5 s per append at local[32])
     df = spark.range(1).select(
         F.lit(row["stage"]).alias("stage"),
+        F.lit(-1).cast("int").alias("partition_id"),  # -1 = stage-level
         F.lit(row["rows_in"]).cast("bigint").alias("rows_in"),
         F.lit(row["rows_out"]).cast("bigint").alias("rows_out"),
         F.lit(row["wall_ms"]).cast("bigint").alias("wall_ms"),
         F.lit(row["n_partitions"]).cast("int").alias("n_partitions"),
     )
     df.coalesce(1).write.mode("append").parquet(os.path.join(root, "_lineage"))
+
+
+def _append_partition_lineage(
+    spark: SparkSession, root: str, stage: str, out_path: str, n_partitions: int
+) -> None:
+    """Per-partition lineage rows (FIXTURES.md §4 / north_rule
+    'per-partition lineage + metrics'): one row per p_hash bucket with
+    its row count — derived from parquet footer statistics of the
+    just-written stage table, entirely JVM-side (no driver collect)."""
+    raw = spark.read.parquet(out_path)
+    if "p_hash" not in raw.columns:
+        return
+    per_part = raw.groupBy("p_hash").count().select(
+        F.lit(stage).alias("stage"),
+        F.col("p_hash").cast("int").alias("partition_id"),
+        F.lit(-1).cast("bigint").alias("rows_in"),
+        F.col("count").cast("bigint").alias("rows_out"),
+        F.lit(-1).cast("bigint").alias("wall_ms"),
+        F.lit(n_partitions).cast("int").alias("n_partitions"),
+    )
+    per_part.coalesce(1).write.mode("append").parquet(
+        os.path.join(root, "_lineage")
+    )
 
 
 def run_pipeline(
@@ -127,6 +151,9 @@ def run_pipeline(
         }
         lineage.append(row)
         _append_lineage(spark, out_root, row)
+        _append_partition_lineage(
+            spark, out_root, name, out_path, row["n_partitions"]
+        )
         _mark_done(spark, out_root, name, {"rows_out": rows_out, "wall_ms": wall_ms})
         run.append(name)
         return persisted

@@ -233,6 +233,10 @@ def read_turns(spark: SparkSession, path: str, format: str = "parquet") -> DataF
         return spark.read.parquet(path).select(
             [f.name for f in TURN_SCHEMA.fields]
         )
+    if format == "orc":
+        return spark.read.orc(path).select(
+            [f.name for f in TURN_SCHEMA.fields]
+        )
     if format not in ("json", "csv"):
         raise ValueError(f"unsupported transcript format {format!r}")
     from pyspark.sql import types as T

@@ -145,9 +145,11 @@ def test_read_turns_jsonl_and_csv_equal_parquet(spark, tmp_path):
     corpus = synth.make_corpus(n_convs=15, seed=11)
     df = synth.corpus_df(spark, corpus)
     p_parquet = str(tmp_path / "t.parquet")
+    p_orc = str(tmp_path / "t.orc")
     p_json = str(tmp_path / "t.jsonl")
     p_csv = str(tmp_path / "t.csv")
     df.write.parquet(p_parquet)
+    df.write.orc(p_orc)
     df.withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")).write.json(p_json)
     df.withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")).write.option(
         "header", "true"
@@ -157,6 +159,7 @@ def test_read_turns_jsonl_and_csv_equal_parquet(spark, tmp_path):
         return {tuple(r) for r in d.collect()}
 
     base = rows(read_turns(spark, p_parquet))
+    assert rows(read_turns(spark, p_orc, "orc")) == base
     assert rows(read_turns(spark, p_json, "json")) == base
     assert rows(read_turns(spark, p_csv, "csv")) == base
     assert base and len(base) == len(corpus.rows)

@@ -191,3 +191,14 @@ def test_lineage_written(spark, tmp_path):
     stages = {r.stage for r in lin.select("stage").distinct().collect()}
     assert {"extract", "link", "canonicalize", "materialize", "entities"} <= stages
     assert lin.filter("rows_out < 0").count() == 0
+    # per-partition lineage (FIXTURES §4): bucket-partitioned stages
+    # carry one row per p_hash, and the bucket counts sum to the
+    # stage-level rows_out
+    for stage in ("extract", "materialize"):
+        stage_total = lin.filter(
+            f"stage = '{stage}' AND partition_id = -1"
+        ).collect()[0].rows_out
+        parts = lin.filter(f"stage = '{stage}' AND partition_id >= 0").collect()
+        assert parts, f"no per-partition lineage for {stage}"
+        assert sum(p.rows_out for p in parts) == stage_total
+        assert all(0 <= p.partition_id for p in parts)
