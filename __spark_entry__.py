@@ -1051,6 +1051,63 @@ def _dedup_simhash(spark, sf):
     return D.simhash_pairs(docs, max_hamming=3)
 
 
+def _dedup_cluster_assign(spark, sf):
+    """Near-dup CLUSTER ASSIGNMENT over exact-Jaccard verified pairs:
+    connected components over the pair graph → (doc_id, cluster_id,
+    keep) with exactly one keep per cluster and every doc present —
+    the linear-output form a training-data dedup actually consumes.
+    Exactly SQL-expressible: DuckDB's recursive CTE runs the same
+    min-label transitive closure."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _JACCARD_MAX_DOC)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.6, max_token_df=10**9)
+    return D.near_dup_clusters(docs, pairs=pairs)
+
+
+_DEDUP_CLUSTER_ASSIGN_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE doc_id < {_JACCARD_MAX_DOC} AND t.tok <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT c.a, c.b
+  FROM common c JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
+  WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - c.n_common AS DOUBLE) >= 0.6
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), walk(node, reach) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+), comp AS (
+  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id < {_JACCARD_MAX_DOC}) d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+def _dedup_minhash_clusters(spark, sf):
+    """The UNCAPPED minhash dedup: full documents table → LSH
+    candidate pairs → exact-Jaccard verify → connected components →
+    cluster assignments.  Output is linear in documents (one row per
+    doc) even though this corpus is pathologically templated — the
+    pair form of the same operator (``dedup_minhash_lsh``) needs a doc
+    cap precisely because its OUTPUT is quadratic in the data.
+    Rows-only driver check (LSH banding is approximate); cluster parity
+    vs exact pairs is gated in pytest."""
+    docs = _t(spark, sf, "documents")
+    return D.near_dup_clusters(docs, method="minhash", threshold=0.6)
+
+
 _ANN_N_PROBES = 40
 
 
@@ -1331,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_cluster_assign": _dedup_cluster_assign,
+        "dedup_minhash_clusters": _dedup_minhash_clusters,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "ann_cosine_top1": _ann_top1,
         "ann_lsh_top1": _ann_lsh,
@@ -1388,8 +1447,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_tokenset": _DEDUP_TOKENSET_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         # dedup_minhash_lsh / dedup_simhash: signature families are
-        # engine-internal (crc32 minhash / simhash); verified in pytest
-        # against exact-jaccard / hamming ground truth.
+        # engine-internal (xxhash64 minhash / simhash); verified in
+        # pytest against exact-jaccard / hamming ground truth.
+        "dedup_cluster_assign": _DEDUP_CLUSTER_ASSIGN_SQL,
+        # dedup_minhash_clusters: LSH-backed (approximate candidate
+        # generation) — cluster parity vs exact pairs gated in pytest.
         "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_top1": _ANN_TOP1_SQL,
         # ann_lsh_top1 / ann_ivf_top1: approximate by design; recall vs

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "kg_connected_components",
     "dedup_tokenset",
     "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
     "dedup_embedding_cosine",
     "ann_cosine_top1",
     "ann_lsh_top1",

@@ -252,6 +252,81 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return acc.select("doc_id", sh.alias("sh"))
 
 
+# ---------------------------------------------------------------------------
+# Cluster assignment — pairs → keep/drop decisions
+# ---------------------------------------------------------------------------
+_ID_PAD = 20  # max digits of a non-negative int64
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    method: str = "minhash",
+    threshold: float = 0.6,
+    include_singletons: bool = True,
+    id_col: str = "doc_id",
+    **method_kwargs,
+) -> DataFrame:
+    """Near-duplicate CLUSTER ASSIGNMENTS — what a 100-TB dedup
+    actually consumes: ``(doc_id, cluster_id, keep)`` with exactly one
+    ``keep=true`` row per cluster (the minimum doc id).
+
+    Pair-emitting near-dup operators are quadratic in pathologically
+    templated corpora (a cluster of n copies is n·(n-1)/2 pairs); the
+    cluster form is linear in documents.  Candidate pairs come from
+    ``method`` ('minhash' | 'jaccard' | 'simhash' — all emit verified
+    pairs, never raw candidates) or from a caller-supplied ``pairs``
+    frame with columns (a, b); connected components over the pair
+    graph (``operators.canonicalize.connected_components`` — the same
+    large-star/small-star fixpoint the KG canonicalization uses) give
+    transitive closure, so A≈B≈C collapses to one cluster even when
+    (A, C) itself was never emitted as a pair.
+
+    Numeric ids are zero-padded to ``_ID_PAD`` digits for the CC node
+    labels so string-min equals numeric-min, then decoded back; ids
+    must be non-negative.  With ``include_singletons`` every document
+    appears in the output (docs with no near-dup keep themselves) —
+    the frame is then a total keep/drop decision for the corpus.
+    """
+    from lexicator_spark.operators.canonicalize import connected_components
+
+    if pairs is None:
+        methods = {
+            "minhash": minhash_lsh_pairs,
+            "jaccard": ngram_jaccard_pairs,
+            "simhash": simhash_pairs,
+        }
+        if method == "simhash":
+            pairs = simhash_pairs(docs, **method_kwargs)
+        elif method in methods:
+            pairs = methods[method](docs, threshold=threshold, **method_kwargs)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+
+    dt = dict(docs.dtypes)[id_col]
+    numeric = dt in ("tinyint", "smallint", "int", "bigint")
+    if numeric:
+        enc = lambda c: F.lpad(c.cast("string"), _ID_PAD, "0")
+        dec = lambda c: c.cast(dt)
+    else:
+        enc = lambda c: c.cast("string")
+        dec = lambda c: c
+
+    edges = pairs.select(enc(F.col("a")).alias("u"), enc(F.col("b")).alias("v"))
+    assignments = connected_components(edges)
+    clusters = assignments.select(
+        dec(F.col("node")).alias(id_col), dec(F.col("comp")).alias("cluster_id")
+    )
+    if include_singletons:
+        singles = (
+            docs.select(id_col)
+            .join(clusters.select(id_col), id_col, "left_anti")
+            .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+        )
+        clusters = clusters.unionByName(singles)
+    return clusters.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
     Pigeonhole blocking on ``max_hamming + 1`` disjoint bit chunks —

@@ -146,6 +146,88 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert again == approx
 
 
+def _py_union_find(pairs, all_ids):
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {i: find(i) for i in all_ids}
+
+
+def test_near_dup_clusters_matches_union_find_on_exact_pairs(spark):
+    """Cluster assignment over exact-Jaccard pairs == python union-find
+    over the same pairs: identical (doc_id, cluster_id, keep) set,
+    every doc present, exactly one keep per cluster."""
+    docs = _docs(spark, 150)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.6, max_token_df=10**9)
+    truth_pairs = [(r.a, r.b) for r in pairs.collect()]
+    expected_comp = _py_union_find(truth_pairs, ids)
+
+    got = D.near_dup_clusters(docs, pairs=pairs).collect()
+    assert {r.doc_id for r in got} == set(ids)
+    assert {(r.doc_id, r.cluster_id) for r in got} == set(expected_comp.items())
+    assert all(r.keep == (r.doc_id == r.cluster_id) for r in got)
+    keeps_per_cluster = {}
+    for r in got:
+        keeps_per_cluster.setdefault(r.cluster_id, 0)
+        keeps_per_cluster[r.cluster_id] += int(r.keep)
+    assert all(n == 1 for n in keeps_per_cluster.values())
+
+
+def test_near_dup_clusters_transitive_closure(spark):
+    """A≈B and B≈C (but never A≈C as a pair) collapse to ONE cluster —
+    the property pair output can't express."""
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "solo")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    got = {(r.doc_id, r.cluster_id, r.keep) for r in D.near_dup_clusters(docs, pairs=pairs).collect()}
+    assert got == {(1, 1, True), (2, 1, False), (3, 1, False), (9, 9, True)}
+
+
+def test_near_dup_clusters_string_ids_and_no_singletons(spark):
+    docs = spark.createDataFrame(
+        [("d1", "x"), ("d2", "x"), ("d3", "y")], "doc_id string, text string"
+    )
+    pairs = spark.createDataFrame([("d2", "d1")], "a string, b string")
+    got = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in D.near_dup_clusters(
+            docs, pairs=pairs, include_singletons=False
+        ).collect()
+    }
+    assert got == {("d1", "d1", True), ("d2", "d1", False)}
+
+
+def test_near_dup_clusters_lsh_vs_exact_cluster_parity(spark):
+    """The LSH-backed cluster assignment agrees with exact-Jaccard
+    clusters on ≥ 90% of docs (candidate generation is approximate;
+    transitive closure heals most pair-level misses — a doc lands in
+    the right cluster if ANY path of surfaced pairs connects it)."""
+    docs = _docs(spark, 150)
+    exact_pairs = D.ngram_jaccard_pairs(docs, threshold=0.7, max_token_df=10**9)
+    exact = {
+        (r.doc_id, r.cluster_id)
+        for r in D.near_dup_clusters(docs, pairs=exact_pairs).collect()
+    }
+    lsh = {
+        (r.doc_id, r.cluster_id)
+        for r in D.near_dup_clusters(docs, method="minhash", threshold=0.7).collect()
+    }
+    agree = len(exact & lsh) / len(exact)
+    assert agree >= 0.9, f"cluster agreement {agree:.3f} < 0.9"
+
+
 def test_bpe_token_count_basics(spark):
     from lexicator_spark.operators.textstats import with_bpe_token_count
 
