@@ -879,17 +879,31 @@ SELECT node, comp FROM chained WHERE n_user_events > 1
 """
 
 
+# The deterministic synth transcript corpus as a committed parquet
+# fixture: the Spark queries and the DuckDB oracles read the SAME file
+# (scripts/make_fixtures.py regenerates it; pytest asserts the file
+# still equals a fresh synth.make_corpus(300, seed=42) so it can never
+# drift from the generator).
+_SYNTH_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "fixtures", "synth_corpus_n300_s42.parquet",
+)
+
+
+def _synth_turns(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(_SYNTH_FIXTURE)
+
+
 def _kg_claims_qualifiers(spark, sf):
     """Claim-qualifier view over the synthetic transcript corpus
     (SURVEY §1.1: template params → sorted qualifier structs).  The
     parquet test tables carry no template syntax, so like
-    kg_pipeline_triples this runs on the deterministic synth corpus;
-    rows-only driver check, exact expectations in pytest."""
-    from lexicator_spark import synth
+    kg_pipeline_triples this runs on the deterministic synth-corpus
+    fixture; the DuckDB twin re-parses the templates with the same
+    regex + keep-last override semantics."""
     from lexicator_spark.operators.extract import claims_with_qualifiers, extract_triples
 
-    turns = synth.corpus_df(spark, synth.make_corpus(n_convs=300, seed=42))
-    claims = claims_with_qualifiers(extract_triples(turns))
+    claims = claims_with_qualifiers(extract_triples(_synth_turns(spark)))
     return claims.select(
         "subj",
         "template",
@@ -906,11 +920,13 @@ def _kg_claims_qualifiers(spark, sf):
 def _kg_entity_tool_affinity(spark, sf):
     """SURVEY §3's flagship KG question: which canonical entities are
     mentioned in conversations that used tool X?  Runs the full
-    pipeline on the synth corpus, maps mention surfaces to canonical
-    ids through the CC output, joins to tool usage by conversation —
-    rows-only driver check; exact equality vs the pure-Python oracle
-    in tests/test_pipeline.py."""
-    from lexicator_spark import rules, synth
+    pipeline on the synth-corpus fixture, maps mention surfaces to
+    canonical ids through the CC output, joins to tool usage by
+    conversation — the DuckDB twin re-runs extraction, blocking-key +
+    shingle-Jaccard linking, and a recursive-CTE connected components
+    over the same fixture; exact equality vs the pure-Python oracle
+    additionally held in tests/test_pipeline.py."""
+    from lexicator_spark import rules
     from lexicator_spark.operators.canonicalize import (
         canonical_of_triples,
         connected_components,
@@ -918,8 +934,7 @@ def _kg_entity_tool_affinity(spark, sf):
     from lexicator_spark.operators.extract import extract_triples, split_rejects
     from lexicator_spark.operators.link import build_catalog, link_mentions
 
-    turns = synth.corpus_df(spark, synth.make_corpus(n_convs=300, seed=42))
-    triples, _ = split_rejects(extract_triples(turns))
+    triples, _ = split_rejects(extract_triples(_synth_turns(spark)))
     same_as = link_mentions(triples, build_catalog(spark))
     assignments = connected_components(
         same_as.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
@@ -944,17 +959,17 @@ def _kg_entity_tool_affinity(spark, sf):
 
 def _kg_pipeline_triples(spark, sf):
     """Full KG pipeline (extract→link→canonicalize) on the
-    deterministic synthetic transcript corpus — not SQL-expressible
-    (iterative CC + pandas-UDF extraction); driver records the
-    rows-only check, pytest holds the P/R gate."""
-    from lexicator_spark import synth
+    deterministic synth-corpus fixture.  The DuckDB twin expresses the
+    ENTIRE pipeline in SQL — regex extraction of all five text rules,
+    the lag-window replies, blocking-key + shingle-Jaccard linking
+    with the window best-pick, and connected components as a recursive
+    CTE — so the iterative-CC operator is oracle-checked end to end,
+    not just rows-counted; pytest additionally holds the P/R gate."""
     from lexicator_spark.operators.canonicalize import canonical_of_triples
     from lexicator_spark.operators.extract import extract_triples, split_rejects
     from lexicator_spark.operators.link import build_catalog, link_mentions
 
-    corpus = synth.make_corpus(n_convs=300, seed=42)
-    turns = synth.corpus_df(spark, corpus)
-    triples, _rej = split_rejects(extract_triples(turns))
+    triples, _rej = split_rejects(extract_triples(_synth_turns(spark)))
     same_as = link_mentions(triples, build_catalog(spark))
     assignments = connected_components(
         same_as.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
@@ -963,6 +978,193 @@ def _kg_pipeline_triples(spark, sf):
     return triples.unionByName(same_as).unionByName(canonical).select(
         "subj", "pred", "obj"
     )
+
+
+def _synth_kg_sql() -> dict[str, str]:
+    """DuckDB twins for the three synth-corpus KG queries, built from
+    the SAME rule module the Spark stages use (patterns + catalog are
+    interpolated from lexicator_spark.rules, so the two engines can
+    never drift on rule content).  The shared CTE block re-implements,
+    in pure SQL over the parquet fixture: regex extraction (mentions /
+    wikilinks / depends_on / template invocations with keep-last param
+    override), blocking-key + char-3-gram-Jaccard linking with the
+    deterministic window best-pick, and connected components over the
+    same_as graph as a recursive CTE (min-label transitive closure)."""
+    from lexicator_spark import rules as R
+
+    cat_values = ", ".join(
+        f"('{qid}', '{alias}')" for qid, alias in R.catalog_rows()
+    )
+    # one source of truth for normalization: lower + collapse
+    # non-alphanumeric runs + trim (rules.normalize_surface)
+    shared = """
+turns AS (SELECT conv_id, turn_idx, text, tool FROM read_parquet('__FIXTURE__')),
+ment AS (
+  SELECT DISTINCT conv_id, turn_idx,
+         trim(regexp_replace(lower(raw), '[^a-z0-9]+', ' ', 'g')) AS surface
+  FROM (
+    SELECT conv_id, turn_idx, unnest(regexp_extract_all(text, '__MENTION_RE__')) AS raw FROM turns
+    UNION ALL
+    SELECT conv_id, turn_idx, unnest(regexp_extract_all(text, '__WIKILINK_RE__', 1)) AS raw FROM turns
+  )
+),
+surfaces AS (SELECT DISTINCT surface FROM ment WHERE length(surface) > 0),
+cat AS (SELECT * FROM (VALUES __CAT_VALUES__) t(canonical_id, alias_norm)),
+s_feat AS (
+  SELECT surface,
+         list_distinct(list_transform(range(1, greatest(1, length(surface) - 2) + 1),
+                                      i -> substr(surface, i, 3))) AS sh,
+         substr(surface, 1, 1) || CAST(length(surface) // 4 AS VARCHAR) AS blk
+  FROM surfaces
+),
+c_feat AS (
+  SELECT canonical_id, alias_norm,
+         list_distinct(list_transform(range(1, greatest(1, length(alias_norm) - 2) + 1),
+                                      i -> substr(alias_norm, i, 3))) AS sh,
+         substr(alias_norm, 1, 1) || CAST(length(alias_norm) // 4 AS VARCHAR) AS blk
+  FROM cat
+),
+scored AS (
+  SELECT s.surface, c.canonical_id, c.alias_norm,
+         CAST(len(list_intersect(s.sh, c.sh)) AS DOUBLE)
+         / CAST(len(s.sh) + len(c.sh) - len(list_intersect(s.sh, c.sh)) AS DOUBLE) AS score
+  FROM s_feat s JOIN c_feat c ON s.blk = c.blk
+),
+same_as AS (
+  SELECT surface, canonical_id FROM (
+    SELECT surface, canonical_id, score,
+           row_number() OVER (PARTITION BY surface
+                              ORDER BY score DESC, canonical_id, alias_norm) AS rn
+    FROM scored
+  ) WHERE rn = 1 AND score >= __LINK_THRESHOLD__
+),
+edges AS (
+  SELECT surface AS u, canonical_id AS v FROM same_as
+  UNION SELECT canonical_id, surface FROM same_as
+),
+walk(node, reach) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+),
+comp AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node),
+canon AS (
+  SELECT comp,
+         coalesce(min(CASE WHEN starts_with(node, 'Q_') THEN node END), min(node)) AS canonical_id
+  FROM comp GROUP BY comp
+),
+canonical_of AS (
+  SELECT c.node, k.canonical_id
+  FROM comp c JOIN canon k USING (comp)
+  WHERE c.node <> k.canonical_id
+),
+tpl AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(text, '__TEMPLATE_RE__')) AS tpl,
+         generate_subscripts(regexp_extract_all(text, '__TEMPLATE_RE__'), 1) AS tpl_idx
+  FROM turns
+),
+tparts AS (
+  SELECT conv_id, turn_idx, tpl_idx,
+         string_split(substr(tpl, 3, length(tpl) - 4), '|') AS ps
+  FROM tpl
+),
+inv AS (SELECT DISTINCT conv_id, turn_idx, ps[1] AS name FROM tparts),
+tpairs AS (
+  SELECT conv_id, turn_idx, tpl_idx, ps[1] AS name,
+         unnest(ps[2:]) AS p, generate_subscripts(ps[2:], 1) AS j
+  FROM tparts
+),
+tkeep AS (
+  SELECT conv_id, turn_idx, name, p,
+         row_number() OVER (PARTITION BY conv_id, turn_idx, tpl_idx, split_part(p, '=', 1)
+                            ORDER BY j DESC) AS rn
+  FROM tpairs
+)
+"""
+    pipeline = """
+WITH RECURSIVE __SHARED__,
+dep AS (
+  SELECT DISTINCT conv_id, turn_idx,
+         trim(regexp_replace(lower(regexp_extract(m, '(?i)^(.*?) depends on ', 1)), '[^a-z0-9]+', ' ', 'g')) AS a,
+         trim(regexp_replace(lower(regexp_extract(m, '(?i) depends on (.*)$', 1)), '[^a-z0-9]+', ' ', 'g')) AS b
+  FROM (SELECT conv_id, turn_idx, unnest(regexp_extract_all(text, '__DEPENDS_RE__')) AS m FROM turns)
+),
+tparam AS (SELECT DISTINCT conv_id, turn_idx, name || '|' || p AS obj FROM tkeep WHERE rn = 1),
+rep AS (
+  SELECT conv_id, turn_idx,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+  FROM turns
+)
+SELECT subj, pred, obj FROM (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS subj, 'uses_tool' AS pred, tool AS obj
+  FROM turns WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR), 'mentions', surface FROM ment
+  UNION ALL
+  SELECT a, 'depends_on', b FROM dep
+  UNION ALL
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR), 'invokes', name FROM inv
+  UNION ALL
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR), 'tpl_param', obj FROM tparam
+  UNION ALL
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR), 'replies_to',
+         conv_id || '#' || CAST(prev_idx AS VARCHAR)
+  FROM rep WHERE prev_idx IS NOT NULL
+  UNION ALL
+  SELECT surface, 'same_as', canonical_id FROM same_as
+  UNION ALL
+  SELECT node, 'canonical_of', canonical_id FROM canonical_of
+)
+"""
+    affinity = """
+WITH RECURSIVE __SHARED__
+SELECT t.tool, sc.canonical_id, count(DISTINCT m.conv_id) AS n_convs
+FROM ment m
+JOIN canonical_of sc ON m.surface = sc.node
+JOIN (SELECT conv_id, tool FROM turns WHERE tool IS NOT NULL) t ON m.conv_id = t.conv_id
+GROUP BY 1, 2
+"""
+    claims = """
+WITH RECURSIVE __SHARED__,
+claims_params AS (
+  SELECT DISTINCT conv_id, turn_idx, name,
+         split_part(p, '=', 1) AS k,
+         substr(p, length(split_part(p, '=', 1)) + 2) AS v
+  FROM tkeep WHERE rn = 1
+),
+qualagg AS (
+  SELECT conv_id, turn_idx, name,
+         string_agg(k || '=' || v, ',' ORDER BY k, v) AS qualifiers_kv,
+         CAST(count(*) AS INT) AS n_qualifiers
+  FROM claims_params GROUP BY 1, 2, 3
+)
+SELECT i.conv_id || '#' || CAST(i.turn_idx AS VARCHAR) AS subj,
+       i.name AS template,
+       coalesce(q.qualifiers_kv, '') AS qualifiers_kv,
+       coalesce(q.n_qualifiers, 0) AS n_qualifiers
+FROM inv i LEFT JOIN qualagg q USING (conv_id, turn_idx, name)
+"""
+    out = {}
+    for key, sql in (
+        ("kg_pipeline_triples", pipeline),
+        ("kg_entity_tool_affinity", affinity),
+        ("kg_claims_qualifiers", claims),
+    ):
+        out[key] = (
+            sql.replace("__SHARED__", shared)
+            .replace("__FIXTURE__", _SYNTH_FIXTURE)
+            .replace("__MENTION_RE__", R.MENTION_PATTERN)
+            .replace("__WIKILINK_RE__", R.WIKILINK_PATTERN)
+            .replace("__DEPENDS_RE__", R.DEPENDS_PATTERN)
+            .replace("__TEMPLATE_RE__", R.TEMPLATE_FULL_PATTERN)
+            .replace("__CAT_VALUES__", cat_values)
+            .replace("__LINK_THRESHOLD__", repr(R.LINK_SCORE_THRESHOLD))
+        )
+    return out
+
+
+_SYNTH_KG_SQL = _synth_kg_sql()
 
 
 # ===========================================================================
@@ -1441,8 +1643,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_span_proximity_pairs": _KG_SPAN_PROXIMITY_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
         "kg_connected_components": _KG_CC_SQL,
-        # kg_pipeline_triples: not SQL-expressible (pandas-UDF extraction
-        # + iterative CC); pytest holds the P/R≥0.95 parity gate instead.
+        # the three synth-corpus KG queries run over the committed
+        # parquet fixture on both engines — extraction, linking, and
+        # the CC fixpoint all have exact SQL twins (recursive CTE for
+        # the transitive closure); pytest additionally holds the
+        # P/R ≥ 0.95 parity gate vs the pure-Python oracle.
+        "kg_claims_qualifiers": _SYNTH_KG_SQL["kg_claims_qualifiers"],
+        "kg_entity_tool_affinity": _SYNTH_KG_SQL["kg_entity_tool_affinity"],
+        "kg_pipeline_triples": _SYNTH_KG_SQL["kg_pipeline_triples"],
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_tokenset": _DEDUP_TOKENSET_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,

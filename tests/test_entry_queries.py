@@ -40,16 +40,32 @@ def test_every_query_has_oracle_or_reason(spark):
     assert os_ <= qs
     rows_only = qs - os_
     assert rows_only == {
-        "kg_pipeline_triples",
-        "kg_claims_qualifiers",
-        "kg_entity_tool_affinity",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_minhash_clusters",
         "ann_lsh_top1",
         "ann_ivf_top1",
         "approx_aggs",
         "multimodal_features",
     }
+
+
+def test_synth_fixture_matches_generator(spark):
+    """The committed parquet fixture the synth-corpus KG oracles read
+    must equal a fresh regeneration of synth.make_corpus(300, seed=42)
+    — otherwise the Spark side (reads the fixture) and the intended
+    semantics (the generator) could drift silently."""
+    from lexicator_spark import synth
+
+    fresh = synth.make_corpus(n_convs=300, seed=42)
+    expected = {
+        (c, t, r, x, tl, ts.isoformat()) for c, t, r, x, tl, ts in fresh.rows
+    }
+    got = {
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts.isoformat())
+        for r in spark.read.parquet(entrymod._SYNTH_FIXTURE).collect()
+    }
+    assert got == expected
 
 
 def test_approx_aggs_within_bounds(spark):
