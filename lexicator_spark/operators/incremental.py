@@ -177,7 +177,12 @@ def refresh_triples_partitioned(
 
     bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
     changed_buckets = changed.select(bucket_of.alias("p_hash")).distinct()
-    n_buckets_touched = changed_buckets.count()
+    # the touched-bucket list is bounded by the delta (≤ n_buckets
+    # ints) and lets the upsert express "bucket became empty" — a
+    # changed conversation that re-extracts to zero triples must
+    # DELETE its stale bucket, which dynamic overwrite alone cannot do
+    touched = sorted(r.p_hash for r in changed_buckets.collect())
+    n_buckets_touched = len(touched)
     # no forced broadcast hints: `changed` is unbounded (bulk backfill
     # days touch most conversations) — AQE picks broadcast when the
     # runtime size allows
@@ -220,7 +225,8 @@ def refresh_triples_partitioned(
     frontier_replacement = frontier_replacement.localCheckpoint(eager=True)
 
     sio.upsert_partitions(
-        replacement, stage_location, partition_key="conv_id", n_buckets=n_buckets
+        replacement, stage_location, partition_key="conv_id",
+        n_buckets=n_buckets, touched_buckets=touched,
     )
     if bootstrap:
         sio.write_table(
@@ -228,7 +234,8 @@ def refresh_triples_partitioned(
         )
     else:
         sio.upsert_partitions(
-            frontier_replacement, floc, partition_key="conv_id", n_buckets=n_buckets
+            frontier_replacement, floc, partition_key="conv_id",
+            n_buckets=n_buckets, touched_buckets=touched,
         )
     return RefreshResult(
         sio.read_table(spark, stage_location), n_changed, n_buckets_touched

@@ -30,16 +30,23 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lexicator_spark.sources import fsutil
 from lexicator_spark.sources import io as sio
 
-# resolver contract: surfaces -> [(canonical_id | None, confidence)]
+# resolver contract: surfaces -> [(canonical_id | None, confidence)].
+# Return (None, 0.0) ONLY for a definitive "this surface has no
+# entity" — it is cached as a tombstone.  On transient failures
+# (timeouts, rate limits, outages) the resolver MUST raise: a raised
+# batch is retried by Spark and never cached, while a None would
+# tombstone the surface and suppress its links on every future run
+# until the tombstone TTL (if any) expires.
 ResolverFn = Callable[[list[str]], list[tuple[str | None, float]]]
 
 _RESOLVED_SCHEMA = "surface string, canonical_id string, resolve_conf double"
+_CACHE_SCHEMA = _RESOLVED_SCHEMA + ", resolved_at timestamp"
 
 
 def _resolve_new(
@@ -73,14 +80,30 @@ def resolve_surfaces(
     resolver_fn: ResolverFn,
     cache_location: str | None = None,
     chunk_size: int = 200,
+    tombstone_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """surfaces(surface string) → (surface, canonical_id, resolve_conf).
 
     ``canonical_id`` is null for surfaces the resolver could not map
     (kept in the output AND in the cache as tombstones).  With a
     ``cache_location``, only surfaces absent from the cache invoke
-    ``resolver_fn``; fresh results are appended to the cache."""
+    ``resolver_fn``; fresh results are appended to the cache with a
+    ``resolved_at`` timestamp.
+
+    Cache hygiene:
+    - the cache may hold duplicate surface rows (append-mode retries,
+      concurrent pipelines sharing the location) — only the NEWEST row
+      per surface is used, so the hits join never fans out;
+    - with ``tombstone_ttl_minutes``, tombstones older than the TTL
+      (or with unknown age, from pre-``resolved_at`` caches) are
+      treated as misses and re-resolved — an external KB that has
+      since learned the surface gets a second chance; positive entries
+      never expire (re-resolution belongs to a cache rebuild, not the
+      hot path);
+    - nothing is appended (and no sidecar rewritten) when there are no
+      misses — re-runs leave the cache byte-identical."""
     distinct = surfaces.select("surface").distinct()
+    stamp = lambda df: df.withColumn("resolved_at", F.current_timestamp())
     if cache_location is None:
         # materialized: the resolver is side-effectful (rate-limited
         # external calls) — it must run once, not once per downstream
@@ -91,18 +114,45 @@ def resolve_surfaces(
 
     if fsutil.exists(spark, cache_location):
         cache = sio.read_table(spark, cache_location)
+        if "resolved_at" not in cache.columns:
+            cache = cache.withColumn(
+                "resolved_at", F.lit(None).cast("timestamp")
+            )
     else:
-        cache = spark.createDataFrame([], _RESOLVED_SCHEMA)
+        cache = spark.createDataFrame([], _CACHE_SCHEMA)
 
-    hits = distinct.join(cache, "surface", "inner").select(
+    newest = Window.partitionBy("surface").orderBy(
+        F.col("resolved_at").desc_nulls_last(), F.col("canonical_id").asc_nulls_last()
+    )
+    cache = (
+        cache.withColumn("rn", F.row_number().over(newest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    usable = cache
+    if tombstone_ttl_minutes is not None:
+        fresh_enough = F.col("resolved_at") >= F.current_timestamp() - F.expr(
+            f"INTERVAL {int(tombstone_ttl_minutes)} MINUTES"
+        )
+        usable = cache.filter(
+            F.col("canonical_id").isNotNull()
+            | (F.col("resolved_at").isNotNull() & fresh_enough)
+        )
+
+    hits = distinct.join(usable, "surface", "inner").select(
         "surface", "canonical_id", "resolve_conf"
     )
-    misses = distinct.join(cache, "surface", "left_anti")
+    misses = distinct.join(usable, "surface", "left_anti")
+    if misses.limit(1).count() == 0:
+        # no resolver call, no cache append, no sidecar rewrite
+        return hits
     fresh = _resolve_new(misses, resolver_fn, chunk_size)
     # materialize before appending so the resolver runs exactly once
     # even though `fresh` feeds both the cache write and the result
     fresh = fresh.localCheckpoint(eager=True)
-    sio.write_table(fresh, cache_location, mode="append", partition_key=None)
+    sio.write_table(
+        stamp(fresh), cache_location, mode="append", partition_key=None
+    )
     return hits.unionByName(fresh)
 
 

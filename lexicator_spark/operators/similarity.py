@@ -45,6 +45,25 @@ def _norm(a):
     )
 
 
+def _resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Embedding dimensionality for the LSH operators: pass ``dim``,
+    or store it as column metadata ``{'dim': N}`` on ``vec_col``.  A
+    silent ``df.first()`` sniff is deliberately NOT done — it runs a
+    Spark job inside operator construction, a driver-side action you
+    don't want hidden in a larger plan (ivf_ann_topk's bounded sample
+    is explicit and documented; this seam stays lazy)."""
+    if dim is not None:
+        return dim
+    for f in df.schema.fields:
+        if f.name == vec_col and "dim" in (f.metadata or {}):
+            return int(f.metadata["dim"])
+    raise ValueError(
+        f"embedding dimensionality unknown: pass dim= or attach "
+        f"{{'dim': N}} metadata to column {vec_col!r} "
+        f"(df.withMetadata({vec_col!r}, {{'dim': N}}))"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -185,8 +204,7 @@ def embedding_near_dup_pairs(
     Scores are rounded then emitted as integer micro-units so results
     are stable across engines and summation orders."""
     if blocked:
-        if dim is None:
-            dim = len(corpus.select(vec_col).first()[0])
+        dim = _resolve_dim(corpus, vec_col, dim)
         planes = hyperplanes(dim, n_tables * bits_per_table, seed)
         # norm BEFORE the bucket explode (once per vector, not once
         # per (vector, table) row)
@@ -352,10 +370,9 @@ def lsh_ann_topk(
     more tables → higher recall, more candidates (classic L·(p^b)
     tradeoff).
 
-    ``dim``: embedding dimensionality.  Pass it (or store it in table
-    metadata) — when omitted, a one-row fallback job sniffs it from
-    the corpus, which is a driver-side action you don't want inside a
-    larger plan.
+    ``dim``: embedding dimensionality — pass it or attach ``{'dim':
+    N}`` metadata to the vector column; omitting both raises (no
+    hidden driver-side sniff job, see ``_resolve_dim``).
 
     ``multiprobe``: additionally probe, per table, every bucket whose
     code differs in exactly one bit — 1+bits buckets per probe per
@@ -363,8 +380,7 @@ def lsh_ann_topk(
     disk is unchanged); only the small probe side fans out, which
     buys the recall of ~7× more tables for free at 100-TB corpus
     scale."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    dim = _resolve_dim(corpus, vec_col, dim)
     planes = hyperplanes(dim, n_tables * bits_per_table, seed)
     c = with_lsh_buckets(
         corpus.select(

@@ -47,14 +47,18 @@ def with_partition_hash(df: DataFrame, key: str = "conv_id", n_buckets: int = DE
 
 def _is_path(location: str) -> bool:
     """Path-vs-catalog-table-name discrimination for the storage seam:
-    URIs (s3a://, hdfs://, file:) and absolute/relative filesystem
-    paths are paths; bare dotted identifiers are catalog tables.
-    ``os.path.isabs`` alone misclassifies object-store URIs — exactly
-    the deployment where an Iceberg catalog is configured."""
+    URIs (s3a://, hdfs://, file:), absolute paths, and ANYTHING
+    containing a path separator (plain relative paths like
+    'out/triples' are paths, not catalog identifiers) route to the
+    filesystem backend; only bare dotted identifiers route to the
+    catalog.  ``os.path.isabs`` alone misclassifies object-store URIs
+    — exactly the deployment where an Iceberg catalog is configured."""
     return (
         os.path.isabs(location)
         or "://" in location
-        or location.startswith(("./", "../", "file:"))
+        or "/" in location
+        or os.sep in location
+        or location.startswith("file:")
     )
 
 
@@ -131,6 +135,7 @@ def upsert_partitions(
     location: str,
     partition_key: str = "conv_id",
     n_buckets: int = DEFAULT_BUCKETS,
+    touched_buckets: list[int] | None = None,
 ) -> None:
     """Idempotent partition-level upsert on the parquet backend — the
     stand-in for Iceberg ``MERGE INTO``: dynamic partition overwrite
@@ -139,9 +144,20 @@ def upsert_partitions(
     pass complete replacement content for every bucket they touch
     (see ``operators.incremental.refresh_triples_partitioned``).
 
+    Dynamic overwrite cannot express "this bucket became EMPTY" — a
+    replacement with zero rows for a touched bucket writes nothing,
+    leaving the stale files in place and resurrecting deleted rows.
+    Callers that know which buckets they intended to replace pass
+    ``touched_buckets``; any of those absent from ``df`` is explicitly
+    deleted here.
+
     The target's recorded bucketing (``_buckets.json``) is enforced
     HERE at the seam: a different modulus would scatter replacement
-    rows into new buckets while the stale ones survive untouched."""
+    rows into new buckets while the stale ones survive untouched.
+
+    Overwrite mode is set per-write (DataFrameWriter option, Spark
+    ≥ 2.4) — never on the session conf, which would leak dynamic-
+    overwrite semantics into concurrent writes sharing the session."""
     spark = df.sparkSession
     meta = read_bucket_meta(spark, location)
     if meta is not None and (
@@ -153,14 +169,19 @@ def upsert_partitions(
             f"refusing upsert with {partition_key}%{n_buckets}"
         )
     hashed = with_partition_hash(df, partition_key, n_buckets)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        hashed.repartition(F.col("p_hash")).write.mode("overwrite").partitionBy(
-            "p_hash"
-        ).parquet(location)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if touched_buckets is not None:
+        present = {
+            r.p_hash for r in hashed.select("p_hash").distinct().collect()
+        }
+    hashed.repartition(F.col("p_hash")).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("p_hash").parquet(location)
+    if touched_buckets is not None:
+        # after the write (which never touches row-less buckets), so a
+        # replacement frame that lazily reads `location` is never
+        # evaluated against half-deleted data
+        for b in set(touched_buckets) - present:
+            fsutil.delete(spark, os.path.join(location, f"p_hash={b}"), recursive=True)
     fsutil.write_text(spark, _schema_sidecar(location), hashed.schema.json())
     _write_bucket_meta(spark, location, partition_key, n_buckets)
 

@@ -58,21 +58,18 @@ def start_extract_stream(
     source of truth."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
         good, _rejects = split_rejects(extract_triples(batch_df))
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        # per-write dynamic overwrite (DataFrameWriter option, takes
+        # precedence over the session conf) — never toggled globally,
+        # so concurrent writes sharing the session keep their own
+        # overwrite semantics
+        (
+            good.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                good.withColumn("epoch_id", F.lit(epoch_id))
-                .write.mode("overwrite")
-                .partitionBy("epoch_id")
-                .parquet(out_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (
         turns_stream.writeStream.foreachBatch(process)

@@ -261,6 +261,22 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
     assert md5fp[1] == md5fp[3]
 
 
+def test_lsh_dim_explicit_or_metadata_never_sniffed(spark):
+    """Omitted dim raises (no hidden driver-side job); column metadata
+    {'dim': N} is the lazy alternative to passing it."""
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(60)
+    probes = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="dim"):
+        SIM.lsh_ann_topk(emb, probes, k=1)
+    with pytest.raises(ValueError, match="dim"):
+        SIM.embedding_near_dup_pairs(emb, 0.4, blocked=True)
+    tagged = emb.withMetadata("embedding", {"dim": 64})
+    out = SIM.lsh_ann_topk(tagged, probes, k=1).collect()
+    assert len(out) == 3
+
+
 def test_cosine_topk_self_similarity(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],

@@ -77,6 +77,92 @@ def test_resolver_cache_serves_repeats_and_tombstones(spark, tmp_path):
         ).collect()
 
 
+def test_resolver_cache_duplicates_do_not_fan_out(spark, tmp_path):
+    """Append-mode retries / concurrent writers can duplicate surface
+    rows in the cache; only the newest row per surface is used, so the
+    hits join emits exactly one row per requested surface."""
+    cache = str(tmp_path / "dup_cache")
+    names = ["external entity one"]
+    resolve_surfaces(spark, _surfaces(spark, names), _kb_resolver, cache).collect()
+    # simulate a retried append: same surface cached twice
+    resolved = spark.createDataFrame(
+        [("external entity one", "Q_ext1", 0.9)],
+        "surface string, canonical_id string, resolve_conf double",
+    ).withColumn("resolved_at", F.current_timestamp())
+    from lexicator_spark.sources import io as sio
+
+    sio.write_table(resolved, cache, mode="append", partition_key=None)
+    out = resolve_surfaces(
+        spark, _surfaces(spark, names), _raising_resolver, cache
+    ).collect()
+    assert len(out) == 1 and out[0].canonical_id == "Q_ext1"
+
+
+def test_resolver_tombstone_ttl_retries_expired_misses(spark, tmp_path):
+    """A tombstoned miss is retried once its TTL expires — an external
+    KB that has since learned the surface gets linked; positive cache
+    entries never expire."""
+    cache = str(tmp_path / "ttl_cache")
+    names = ["external entity one", "late arrival"]
+    first = {
+        (r.surface, r.canonical_id)
+        for r in resolve_surfaces(
+            spark, _surfaces(spark, names), _kb_resolver, cache
+        ).collect()
+    }
+    assert ("late arrival", None) in first
+    # KB learns the surface; with ttl=0 every tombstone is expired.
+    # The resolver RAISES on anything but the expired miss (it runs in
+    # an executor, so behavior — not a driver-side spy — is the proof
+    # that positives were served from cache and only the tombstone
+    # reached it).
+    def learned_resolver(surfaces):
+        assert list(surfaces) == ["late arrival"], surfaces
+        return [("Q_late", 0.7)] * len(surfaces)
+
+    second = {
+        (r.surface, r.canonical_id)
+        for r in resolve_surfaces(
+            spark, _surfaces(spark, names), learned_resolver, cache,
+            tombstone_ttl_minutes=0,
+        ).collect()
+    }
+    assert second == {("external entity one", "Q_ext1"), ("late arrival", "Q_late")}
+    # the retried result replaced the tombstone: a later TTL-less read
+    # serves Q_late from cache (raising resolver proves no re-resolve)
+    third = {
+        (r.surface, r.canonical_id)
+        for r in resolve_surfaces(
+            spark, _surfaces(spark, names), _raising_resolver, cache
+        ).collect()
+    }
+    assert third == second
+
+
+def test_resolver_no_misses_skips_cache_append(spark, tmp_path):
+    """A re-run with zero misses must not touch the cache table at all
+    (no empty file-set append, no sidecar rewrite)."""
+    import pathlib
+
+    cache = str(tmp_path / "stable_cache")
+    names = ["external entity one", "unknown thing"]
+    resolve_surfaces(spark, _surfaces(spark, names), _kb_resolver, cache).collect()
+    snapshot = {
+        p.name: (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in pathlib.Path(cache).rglob("*")
+        if p.is_file()
+    }
+    resolve_surfaces(
+        spark, _surfaces(spark, names), _raising_resolver, cache
+    ).collect()
+    after = {
+        p.name: (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in pathlib.Path(cache).rglob("*")
+        if p.is_file()
+    }
+    assert after == snapshot
+
+
 def test_link_with_external_fallback(spark, tmp_path):
     rows = [
         ("c0", 0, "user", "we use Spark and [[external entity one]]", None, synth.EPOCH),
