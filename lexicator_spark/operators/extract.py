@@ -231,81 +231,86 @@ def _native_text_hits(turns: DataFrame) -> DataFrame:
     whole-stage codegen.  Produces the same ``hits`` array column as
     the pandas UDF (verified equal in tests/test_extract.py).
 
-    Per-row dedup is done with ``array_distinct`` on the normalized
-    string arrays (binary-comparable, no lambda interpretation) and
-    ``array_except`` to drop wikilink surfaces already found as exact
-    aliases — max-conf semantics, matching the pandas path's
-    first-occurrence-wins ordering.
+    Mention spans mirror ``rules.mention_spans`` with ONE sort instead
+    of a nested per-surface scan: every distinct raw (exact AND
+    wikilink) becomes a (obj, prio, start, len) struct — prio 0 for
+    exact-alias raws, 1 for wikilinks — and after ``array_sort`` the
+    FIRST struct per obj is exactly the semantics: exact beats
+    wikilink (prio orders before position), and within the winning
+    tier the min (position, raw-length) tuple wins, which is Python's
+    ``min()`` over find results.  This replaced an O(|surfaces| ×
+    |raws|) interpreted filter+array_min per surface plus a second
+    normalization pass and an ``array_except`` — measured ~2× faster
+    on the extraction bench (spans roughly doubled native extraction
+    when computed the nested way).
 
-    Mention spans mirror ``rules.mention_spans``: per normalized
-    surface, ``array_min`` over (first-substring-position, raw-length)
-    structs — struct ordering gives exactly Python's tuple-min."""
+    Per-row dedup for the other rule families stays ``array_distinct``
+    on binary-comparable values (no lambda interpretation)."""
     norm = lambda c: F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
     text = F.col("text")
 
-    def hit(pred_col, obj_col, conf: float, start=None, end=None):
+    def hit(pred_col, obj_col, conf, start=None, end=None):
+        conf_col = conf if isinstance(conf, F.Column) else F.lit(conf)
         return F.struct(
             pred_col.alias("pred"),
             obj_col.alias("obj"),
-            F.lit(conf).alias("conf"),
+            conf_col.alias("conf"),
             (F.lit(None).cast("int") if start is None else start.cast("int")).alias("start"),
             (F.lit(None).cast("int") if end is None else end.cast("int")).alias("end"),
         )
 
-    def span_items(raws, start_of):
-        """(obj, start, len) candidate structs for every raw match."""
+    def span_items(raws, prio: int, start_of):
+        """(obj, prio, start, len) candidate structs, one per DISTINCT
+        raw match (repeated aliases cost one position scan each) —
+        field order IS the sort key."""
         return F.transform(
-            raws,
+            F.array_distinct(raws),
             lambda r: F.struct(
                 norm(r).alias("obj"),
-                start_of(r).alias("start"),
-                F.length(r).alias("len"),
-            ),
-        )
-
-    def mention_hits(items, objs, conf: float):
-        # two-level transform so the per-surface array_min evaluates
-        # ONCE (a lambda-var field access afterwards), not once per
-        # reference — Catalyst does not CSE inside lambda bodies
-        best = F.transform(
-            objs,
-            lambda o: F.struct(
-                o.alias("obj"),
-                F.array_min(
-                    F.transform(
-                        F.filter(items, lambda i: i["obj"] == o),
-                        lambda i: F.struct(
-                            i["start"].alias("start"), i["len"].alias("len")
-                        ),
-                    )
-                ).alias("m"),
-            ),
-        )
-        return F.transform(
-            best,
-            lambda x: hit(
-                F.lit(rules.PRED_MENTIONS),
-                x["obj"],
-                conf,
-                x["m"]["start"],
-                x["m"]["start"] + x["m"]["len"],
+                F.lit(prio).alias("prio"),
+                start_of(r).cast("int").alias("start"),
+                F.length(r).cast("int").alias("len"),
             ),
         )
 
     exact_raws = F.regexp_extract_all(text, F.lit(rules.MENTION_PATTERN), F.lit(0))
-    exact_items = span_items(exact_raws, lambda r: F.position(r, text) - 1)
-    exact = F.array_distinct(F.transform(exact_raws, norm))
-    mention = mention_hits(exact_items, exact, 1.0)
-
     wiki_raws = F.regexp_extract_all(text, F.lit(rules.WIKILINK_PATTERN), F.lit(1))
-    # inner surface located via its brackets: 0-based start =
-    # (1-based position of "[[") - 1 + 2
-    wiki_items = span_items(
-        wiki_raws,
-        lambda r: F.position(F.concat(F.lit("[["), r, F.lit("]]")), text) + 1,
+    all_items = F.array_sort(
+        F.concat(
+            span_items(exact_raws, 0, lambda r: F.position(r, text) - 1),
+            # inner surface located via its brackets: 0-based start =
+            # (1-based position of "[[") - 1 + 2
+            span_items(
+                wiki_raws,
+                1,
+                lambda r: F.position(F.concat(F.lit("[["), r, F.lit("]]")), text) + 1,
+            ),
+        )
     )
-    wiki = F.array_distinct(F.transform(wiki_raws, norm))
-    wikilink = mention_hits(wiki_items, F.array_except(wiki, exact), 0.8)
+    # first struct per obj of the sorted array; the one-element-array
+    # transform binds the sorted array to a lambda var so the sort
+    # evaluates ONCE (Catalyst does not CSE inside lambda bodies)
+    best = F.get(
+        F.transform(
+            F.array(all_items),
+            lambda arr: F.filter(
+                arr,
+                lambda x, i: (i == F.lit(0))
+                | (x["obj"] != F.get(arr, i - 1)["obj"]),
+            ),
+        ),
+        F.lit(0),
+    )
+    mention = F.transform(
+        best,
+        lambda x: hit(
+            F.lit(rules.PRED_MENTIONS),
+            x["obj"],
+            F.when(x["prio"] == 0, F.lit(1.0)).otherwise(F.lit(0.8)),
+            x["start"],
+            x["start"] + x["len"],
+        ),
+    )
     # outer distinct: raw variants can normalize to the same pair
     depends = F.array_distinct(F.transform(
         F.regexp_extract_all(F.col("text"), F.lit(rules.DEPENDS_PATTERN), F.lit(0)),
@@ -318,21 +323,18 @@ def _native_text_hits(turns: DataFrame) -> DataFrame:
             1.0,
         ),
     ))
-    invokes = F.transform(
-        F.array_distinct(
-            F.regexp_extract_all(F.col("text"), F.lit(rules.TEMPLATE_PATTERN), F.lit(1))
-        ),
-        lambda o: hit(F.lit(rules.PRED_INVOKES), o, 1.0),
-    )
-
-    # template params (TemplateParser's param-map normalization): for
-    # each full {{name|k=v|...}} match emit one tpl_param hit per key,
-    # later duplicates of a key overriding earlier (wiki semantics —
-    # the keep-last filter runs on tiny per-template arrays only).
+    # template invocations + params from ONE regex scan: the full
+    # {{...}} matches are bound to a lambda var (same one-element-array
+    # trick) and both rule families derive from it — names via a cheap
+    # per-match anchored regexp_extract, params via split.  Previously
+    # invokes and tpl_param each ran their own near-identical
+    # regexp_extract_all over the text.
     def tpl_params(full):
         parts = F.split(F.substring(full, 3, F.length(full) - 4), "\\|")
         name = F.element_at(parts, 1)
         pairs = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+        # later duplicates of a key override earlier (wiki semantics —
+        # the keep-last filter runs on tiny per-template arrays only)
         keep_last = F.filter(
             pairs,
             lambda p, i: ~F.exists(
@@ -350,18 +352,31 @@ def _native_text_hits(turns: DataFrame) -> DataFrame:
             ),
         )
 
-    params = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.regexp_extract_all(
-                    F.col("text"), F.lit(rules.TEMPLATE_FULL_PATTERN), F.lit(0)
+    tpl_fulls = F.regexp_extract_all(
+        F.col("text"), F.lit(rules.TEMPLATE_FULL_PATTERN), F.lit(0)
+    )
+    tpl_hits = F.get(
+        F.transform(
+            F.array(tpl_fulls),
+            lambda fulls: F.concat(
+                F.transform(
+                    F.array_distinct(
+                        F.transform(
+                            fulls,
+                            lambda f: F.regexp_extract(
+                                f, "^\\{\\{([a-z_]+)", 1
+                            ),
+                        )
+                    ),
+                    lambda o: hit(F.lit(rules.PRED_INVOKES), o, 1.0),
                 ),
-                tpl_params,
-            )
-        )
+                F.array_distinct(F.flatten(F.transform(fulls, tpl_params))),
+            ),
+        ),
+        F.lit(0),
     )
     return turns.withColumn(
-        "hits", F.concat(mention, wikilink, depends, invokes, params)
+        "hits", F.concat(mention, depends, tpl_hits)
     )
 
 
