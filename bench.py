@@ -12,7 +12,9 @@ a pre-generated synthetic transcript corpus (generation excluded from
 timing) and reports turns/sec + triples/sec in the JSON extras.
 
 Execution is forced with the noop sink (full plan, no driver
-collect).  Two-parallelism scaling evidence lives in
+collect).  Every reported timing is MIN-OF-2 executions (see
+``_best_of``) so round-over-round deltas are signal, not sandbox
+noise.  Two-parallelism scaling evidence lives in
 scripts/bench_scaling.py → BENCH/BASELINE.md.
 """
 
@@ -70,6 +72,21 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _best_of(fn, n: int = 2) -> float:
+    """Min-of-n wall time: the sandbox shows ±30% run-to-run noise, so
+    single-shot timings make round-over-round deltas meaningless.  The
+    min is the least-noisy estimator of the plan's true cost (noise is
+    strictly additive here — no cache to get unrealistically warm that
+    a second run would hide, since every run re-executes the full plan
+    against the same on-disk parquet)."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
 def run_kg_pipeline(spark, corpus_path: str) -> dict:
     turns = spark.read.parquet(corpus_path)
     n_turns = turns.count()
@@ -124,9 +141,7 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        timings[name] = _best_of(lambda: _force(qs[name](spark, sf_dir)))
 
     # full-table dedup signature stages (the pair queries cap their doc
     # count because the synthetic corpus is ~50% true near-dup pairs;
@@ -137,22 +152,27 @@ def main() -> None:
         ("simhash_fingerprints_full", dedup_ops.simhash_fingerprints),
     ):
         _force(fn(docs_full))  # warm-up: codegen compile of the 32/64-agg plan
-        t0 = time.monotonic()
-        _force(fn(docs_full))
-        timings[name] = round(time.monotonic() - t0, 3)
+        timings[name] = _best_of(lambda: _force(fn(docs_full)))
 
-    kg = run_kg_pipeline(spark, corpus_path)
+    kg = min(
+        (run_kg_pipeline(spark, corpus_path) for _ in range(2)),
+        key=lambda r: r["kg_pipeline_sec"],
+    )
     timings["kg_pipeline"] = kg["kg_pipeline_sec"]
 
     # write-inclusive twin: the SAME stages through run_pipeline's real
     # parquet stage tables (materialization + lineage + checkpoints),
     # so the headline localCheckpoint number never stands alone
     mat_root = "/tmp/bench_kg_materialized"
-    shutil.rmtree(mat_root, ignore_errors=True)
     turns_df = spark.read.parquet(corpus_path)
-    t0 = time.monotonic()
-    run_pipeline(spark, turns_df, mat_root, resume=False)
-    mat_wall = time.monotonic() - t0
+
+    def run_materialized():
+        shutil.rmtree(mat_root, ignore_errors=True)
+        run_pipeline(spark, turns_df, mat_root, resume=False)
+
+    # rmtree inside the timed fn: recreating the stage tables IS the
+    # measured work; the delete is a negligible local-fs rm
+    mat_wall = _best_of(run_materialized)
     kg["kg_pipeline_materialized_sec"] = round(mat_wall, 3)
     kg["kg_turns_per_sec_materialized"] = round(kg["kg_n_turns"] / mat_wall, 1)
     timings["kg_pipeline_materialized"] = kg["kg_pipeline_materialized_sec"]
@@ -164,9 +184,9 @@ def main() -> None:
     big_turns = spark.read.parquet(corpus_path)
     _force(extract_triples(big_turns.limit(20_000), impl="pandas"))
     for impl in ("native", "pandas"):
-        t0 = time.monotonic()
-        _force(extract_triples(big_turns, impl=impl))
-        timings[f"kg_extract_{impl}"] = round(time.monotonic() - t0, 3)
+        timings[f"kg_extract_{impl}"] = _best_of(
+            lambda: _force(extract_triples(big_turns, impl=impl))
+        )
 
     total = round(sum(timings.values()), 3)
     print(

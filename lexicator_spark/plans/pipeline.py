@@ -223,10 +223,19 @@ def run_pipeline(
         link_scores = same_as.select(
             F.col("subj").alias("surface_form"), F.col("conf").alias("score")
         )
+        # per-surface corpus aggregates ride the same single shuffle
+        # as the mention count — n_convs / first-last seen make this
+        # the dimension table analytics queries join without going
+        # back to the fact table (extracted_at is the source turn ts)
         mention_counts = (
             triples_a.filter(F.col("pred") == rules.PRED_MENTIONS)
             .groupBy(F.col("obj").alias("surface_form"))
-            .agg(F.count(F.lit(1)).alias("n_mentions"))
+            .agg(
+                F.count(F.lit(1)).alias("n_mentions"),
+                F.countDistinct("conv_id").alias("n_convs"),
+                F.min("extracted_at").alias("first_seen"),
+                F.max("extracted_at").alias("last_seen"),
+            )
         )
         from lexicator_spark.operators.link import _block_key
 
@@ -243,6 +252,9 @@ def run_pipeline(
                     F.when(F.col("surface_form") == F.col("canonical_id"), 1.0),
                 ).alias("score"),
                 F.coalesce(F.col("n_mentions"), F.lit(0)).alias("n_mentions"),
+                F.coalesce(F.col("n_convs"), F.lit(0)).alias("n_convs"),
+                F.col("first_seen"),
+                F.col("last_seen"),
                 (F.col("surface_form") == F.col("canonical_id")).alias("is_canonical"),
             )
         )

@@ -184,6 +184,115 @@ def stateful_replies_stream(
     )
 
 
+REPLIES_BUF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_idx", T.IntegerType(), True),
+        T.StructField("buf_idx", T.ArrayType(T.IntegerType()), True),
+        T.StructField("buf_ts", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def stateful_replies_stream_buffered(
+    turns_stream: DataFrame, watermark_delay: str = "35 days"
+) -> DataFrame:
+    """``replies_to`` under OUT-OF-ORDER arrival: event-time buffering
+    closes the gap ``stateful_replies_stream`` documents (it assumes
+    log-structured arrival and silently drops replies whose
+    predecessor sits in a later micro-batch).
+
+    Per conversation, turns are held in state until the event-time
+    watermark passes them, then emitted in ``turn_idx`` order, each
+    linking to the previously-emitted turn — exactly the batch
+    ``lag`` semantics.  Correctness leans on the watermark contract:
+    a turn is finalized only once no earlier event-time row can still
+    arrive (the engine drops rows older than the watermark), plus the
+    transcript invariant that ``ts`` is monotone in ``turn_idx``
+    within a conversation (true of appended conversation logs; the
+    synth generator preserves it).
+
+    State per conversation is (last emitted idx, buffered prefix) —
+    bounded by the watermark horizon, NOT the conversation length:
+    every watermark advance flushes the passed prefix.  Timeout
+    handling: an ``EventTimeTimeout`` is armed at the earliest
+    buffered turn's timestamp so a conversation with no further
+    arrivals still flushes when the watermark passes it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from lexicator_spark import rules
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        last_idx = None
+        buf: dict[int, int] = {}
+        if state.exists:
+            st = state.get
+            last_idx = st[0]
+            buf = dict(zip(st[1] or [], st[2] or []))
+        for pdf in pdfs:
+            for idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
+                idx = int(idx)
+                us = int(pd.Timestamp(ts).value // 1_000)
+                # already-emitted or replayed turns are skipped (a
+                # dedup_turns_stream upstream handles true replays;
+                # this is belt-and-braces)
+                if (last_idx is None or idx > last_idx) and idx not in buf:
+                    buf[idx] = us
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        rows = []
+        for idx in sorted(buf):
+            us = buf[idx]
+            if us > wm_us:
+                break  # only the watermark-passed PREFIX is final
+            if last_idx is not None:
+                rows.append(
+                    (
+                        rules.turn_uri(conv_id, idx),
+                        rules.PRED_REPLIES_TO,
+                        rules.turn_uri(conv_id, last_idx),
+                        1.0,
+                        conv_id,
+                        idx,
+                        pd.Timestamp(us, unit="us"),
+                    )
+                )
+            last_idx = idx
+            del buf[idx]
+        if buf:
+            idxs = sorted(buf)
+            state.update((last_idx, idxs, [buf[i] for i in idxs]))
+            state.setTimeoutTimestamp(
+                max(buf[idxs[0]] // 1_000, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            # keep last_idx: later turns (ts above the watermark) may
+            # still arrive and must link back to it
+            state.update((last_idx, [], []))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _REPLIES_OUT_SCHEMA.fields]
+            )
+
+    replies = (
+        turns_stream.select("conv_id", "turn_idx", "ts")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_REPLIES_OUT_SCHEMA,
+            stateStructType=REPLIES_BUF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    from lexicator_spark.operators.extract import null_span
+
+    return replies.select(
+        "subj", "pred", "obj", "conf", null_span(),
+        "conv_id", "turn_idx", "extracted_at",
+    )
+
+
 def start_extract_stream_stateful(
     turns_stream: DataFrame, out_dir: str, checkpoint_dir: str
 ):

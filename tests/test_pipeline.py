@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from lexicator_spark import synth
 from lexicator_spark.plans.pipeline import run_pipeline, triples_of
 from tests import oracle
@@ -79,7 +81,8 @@ def test_entities_dimension_table(spark, tmp_path):
     res = run_pipeline(spark, synth.corpus_df(spark, corpus), out, resume=False)
     ents = sio.read_table(spark, res.entities_path)
     assert ents.columns == [
-        "canonical_id", "surface_form", "block_key", "score", "n_mentions", "is_canonical",
+        "canonical_id", "surface_form", "block_key", "score", "n_mentions",
+        "n_convs", "first_seen", "last_seen", "is_canonical",
     ]
     rows = {r.surface_form: r for r in ents.collect()}
     assert rows, "entities table must not be empty"
@@ -87,6 +90,11 @@ def test_entities_dimension_table(spark, tmp_path):
         assert r.block_key == rules.block_key(r.surface_form)
         assert r.is_canonical == (r.surface_form == r.canonical_id)
         assert r.n_mentions >= 0
+        assert 0 <= r.n_convs <= r.n_mentions
+        # seen-range present iff the surface is actually mentioned
+        assert (r.first_seen is None) == (r.n_mentions == 0)
+        if r.first_seen is not None:
+            assert r.first_seen <= r.last_seen
         assert r.score is None or 0.0 <= r.score <= 1.0
     # canonical members score 1.0 by identity
     assert all(r.score == 1.0 for r in rows.values() if r.is_canonical)
@@ -95,11 +103,19 @@ def test_entities_dimension_table(spark, tmp_path):
     assert linked and all(r.score >= rules.LINK_SCORE_THRESHOLD for r in linked)
     # mention counts agree with the raw triple table
     triples = triples_of(spark, out)
-    n_spark = triples.filter(
+    mention_spark = triples.filter(
         f"pred = '{rules.PRED_MENTIONS}' AND obj = 'spark'"
-    ).count()
+    )
     if "spark" in rows:
-        assert rows["spark"].n_mentions == n_spark
+        assert rows["spark"].n_mentions == mention_spark.count()
+        assert (
+            rows["spark"].n_convs
+            == mention_spark.select("conv_id").distinct().count()
+        )
+        lo, hi = mention_spark.select(
+            F.min("extracted_at"), F.max("extracted_at")
+        ).first()
+        assert (rows["spark"].first_seen, rows["spark"].last_seen) == (lo, hi)
 
 
 def test_entity_tool_affinity_matches_oracle(spark):

@@ -169,6 +169,78 @@ def test_stateful_stream_matches_batch_including_replies(spark, tmp_path):
     assert got == batch
 
 
+def test_buffered_replies_stream_matches_batch_out_of_order(spark, tmp_path):
+    """Event-time buffered replies: with files dropped in SHUFFLED row
+    order (a conversation's turns scattered arbitrarily across
+    micro-batches), the buffered operator still emits exactly the
+    batch ``replies_to`` set — turns are held in state until the
+    watermark passes them, then linked in ``turn_idx`` order.  The
+    unbuffered ``stateful_replies_stream`` would silently drop edges
+    on this arrival order."""
+    import glob
+    import shutil
+    import time as _time
+    from datetime import timedelta
+
+    from lexicator_spark import rules
+    from lexicator_spark.operators.extract import extract_triples
+    from lexicator_spark.streaming.ingest import stateful_replies_stream_buffered
+
+    corpus = synth.make_corpus(n_convs=20, seed=23)  # rows pre-shuffled
+    input_dir = tmp_path / "turns_in"
+    input_dir.mkdir()
+    rows = list(corpus.rows)
+    chunk_size = max(1, len(rows) // 8)
+    chunks = [rows[i : i + chunk_size] for i in range(0, len(rows), chunk_size)]
+    # two sentinel turns far in the future: the first advances the
+    # watermark past every real turn, the second triggers one more
+    # micro-batch in which the armed event-time timeouts fire and
+    # flush every buffered conversation
+    far = synth.EPOCH + timedelta(days=90)
+    chunks.append([("wm_sentinel", 0, "user", "advance", None, far)])
+    chunks.append(
+        [("wm_sentinel", 1, "user", "advance again", None, far + timedelta(days=1))]
+    )
+    for i, chunk in enumerate(chunks):
+        staging = str(tmp_path / f"w{i}")
+        synth.corpus_df(spark, synth.Corpus(rows=chunk)).coalesce(1).write.parquet(
+            staging
+        )
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = str(input_dir / f"chunk_{i:04d}.parquet")
+        shutil.copy(part, dst)
+        t = _time.time() + i  # strictly increasing mtimes pin batch order
+        os.utime(dst, (t, t))
+
+    stream = (
+        spark.readStream.schema(TURN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir))
+    )
+    q = (
+        stateful_replies_stream_buffered(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("buf_replies")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.subj, r.obj)
+        for r in spark.sql(
+            "SELECT * FROM buf_replies WHERE conv_id != 'wm_sentinel'"
+        ).collect()
+    }
+    batch = {
+        (r.subj, r.obj)
+        for r in extract_triples(synth.corpus_df(spark, corpus))
+        .filter(F.col("pred") == rules.PRED_REPLIES_TO)
+        .collect()
+    }
+    assert got == batch and got
+
+
 def test_streaming_dedup_drops_replayed_turns(spark, tmp_path):
     """At-least-once replay: the same turns delivered twice dedup to
     one copy in-flight (bounded state via watermark eviction)."""
