@@ -980,6 +980,104 @@ def _kg_pipeline_triples(spark, sf):
     )
 
 
+def _kg_entities_dim(spark, sf):
+    """The entities DIMENSION table derived end-to-end from the synth
+    fixture (the in-memory twin of the pipeline's ``entities`` stage,
+    ``plans/pipeline.py::stage_entities``): canonical membership from
+    the CC output, Stage-B link scores, blocking keys, and per-surface
+    corpus aggregates (mention count, distinct conversations, first /
+    last seen as epoch micros — integer timestamps so both engines
+    hash identically).  The DuckDB twin recomputes every column,
+    including the recursive-CTE connected components."""
+    from lexicator_spark import rules
+    from lexicator_spark.operators.canonicalize import (
+        canonical_of_triples,
+        connected_components,
+    )
+    from lexicator_spark.operators.extract import extract_triples, split_rejects
+    from lexicator_spark.operators.link import _block_key, build_catalog, link_mentions
+
+    triples, _ = split_rejects(extract_triples(_synth_turns(spark)))
+    same_as = link_mentions(triples, build_catalog(spark))
+    assignments = connected_components(
+        same_as.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    )
+    canonical = canonical_of_triples(assignments)
+    members = (
+        canonical.select(
+            F.col("obj").alias("canonical_id"), F.col("subj").alias("surface_form")
+        )
+        .union(
+            canonical.select(
+                F.col("obj").alias("canonical_id"), F.col("obj").alias("surface_form")
+            )
+        )
+        .distinct()
+    )
+    link_scores = same_as.select(
+        F.col("subj").alias("surface_form"), F.col("conf").alias("score")
+    )
+    mention_stats = (
+        triples.filter(F.col("pred") == rules.PRED_MENTIONS)
+        .groupBy(F.col("obj").alias("surface_form"))
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.unix_micros(F.min("extracted_at")).alias("first_seen_us"),
+            F.unix_micros(F.max("extracted_at")).alias("last_seen_us"),
+        )
+    )
+    return (
+        members.join(link_scores, "surface_form", "left")
+        .join(mention_stats, "surface_form", "left")
+        .select(
+            "canonical_id",
+            "surface_form",
+            _block_key(F.col("surface_form")).alias("block_key"),
+            F.coalesce(
+                F.col("score"),
+                F.when(F.col("surface_form") == F.col("canonical_id"), 1.0),
+            ).alias("score"),
+            F.coalesce(F.col("n_mentions"), F.lit(0)).alias("n_mentions"),
+            F.coalesce(F.col("n_convs"), F.lit(0)).alias("n_convs"),
+            "first_seen_us",
+            "last_seen_us",
+            (F.col("surface_form") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def _kg_degree_distribution(spark, sf):
+    """Degree histogram of the co-mention graph (entities connected
+    iff mentioned in the same conversation) — the structural sanity
+    check on the constructed KG.  Exact SQL twin over the fixture."""
+    from lexicator_spark import rules
+    from lexicator_spark.operators import graph as G
+    from lexicator_spark.operators.extract import extract_triples, split_rejects
+
+    triples, _ = split_rejects(extract_triples(_synth_turns(spark)))
+    mentions = triples.filter(F.col("pred") == rules.PRED_MENTIONS).select(
+        "conv_id", F.col("obj").alias("surface")
+    )
+    return G.degree_distribution(G.cooccurrence_edges(mentions))
+
+
+def _kg_triangle_count(spark, sf):
+    """Global triangle count of the co-mention graph via the
+    degree-ordered orientation (operators/graph.py) — exact integer,
+    so the naive u<v<w three-way self-join in DuckDB is a full oracle
+    for the scale-aware Spark plan."""
+    from lexicator_spark import rules
+    from lexicator_spark.operators import graph as G
+    from lexicator_spark.operators.extract import extract_triples, split_rejects
+
+    triples, _ = split_rejects(extract_triples(_synth_turns(spark)))
+    mentions = triples.filter(F.col("pred") == rules.PRED_MENTIONS).select(
+        "conv_id", F.col("obj").alias("surface")
+    )
+    return G.triangle_count(G.cooccurrence_edges(mentions))
+
+
 def _synth_kg_sql() -> dict[str, str]:
     """DuckDB twins for the three synth-corpus KG queries, built from
     the SAME rule module the Spark stages use (patterns + catalog are
@@ -1145,11 +1243,87 @@ SELECT i.conv_id || '#' || CAST(i.turn_idx AS VARCHAR) AS subj,
        coalesce(q.n_qualifiers, 0) AS n_qualifiers
 FROM inv i LEFT JOIN qualagg q USING (conv_id, turn_idx, name)
 """
+    entities_dim = """
+WITH RECURSIVE __SHARED__,
+members AS (
+  -- explicit DISTINCT: in a WITH RECURSIVE block DuckDB 1.0 treats
+  -- plain UNION between CTE branches as UNION ALL (no dedup)
+  SELECT DISTINCT canonical_id, surface_form FROM (
+    SELECT canonical_id, node AS surface_form FROM canonical_of
+    UNION ALL
+    SELECT canonical_id, canonical_id FROM canonical_of
+  )
+),
+linkscore AS (
+  SELECT surface AS surface_form, score FROM (
+    SELECT surface, score,
+           row_number() OVER (PARTITION BY surface
+                              ORDER BY score DESC, canonical_id, alias_norm) AS rn
+    FROM scored
+  ) WHERE rn = 1 AND score >= __LINK_THRESHOLD__
+),
+mstats AS (
+  SELECT m.surface AS surface_form,
+         count(*) AS n_mentions,
+         count(DISTINCT m.conv_id) AS n_convs,
+         min(epoch_us(t.ts)) AS first_seen_us,
+         max(epoch_us(t.ts)) AS last_seen_us
+  FROM ment m
+  JOIN (SELECT conv_id, turn_idx, ts FROM read_parquet('__FIXTURE__')) t
+    USING (conv_id, turn_idx)
+  GROUP BY 1
+)
+SELECT mem.canonical_id,
+       mem.surface_form,
+       substr(mem.surface_form, 1, 1)
+         || CAST(length(mem.surface_form) // 4 AS VARCHAR) AS block_key,
+       coalesce(ls.score,
+                CASE WHEN mem.surface_form = mem.canonical_id THEN 1.0 END) AS score,
+       coalesce(ms.n_mentions, 0) AS n_mentions,
+       coalesce(ms.n_convs, 0) AS n_convs,
+       ms.first_seen_us,
+       ms.last_seen_us,
+       mem.surface_form = mem.canonical_id AS is_canonical
+FROM members mem
+LEFT JOIN linkscore ls USING (surface_form)
+LEFT JOIN mstats ms USING (surface_form)
+"""
+    # co-mention graph: nodes = surfaces, edge iff two surfaces are
+    # mentioned in the same conversation (a < b dedup)
+    comention = """
+e AS (
+  SELECT DISTINCT m1.surface AS a, m2.surface AS b
+  FROM (SELECT DISTINCT conv_id, surface FROM ment) m1
+  JOIN (SELECT DISTINCT conv_id, surface FROM ment) m2 USING (conv_id)
+  WHERE m1.surface < m2.surface
+)
+"""
+    degree_dist = (
+        "WITH RECURSIVE __SHARED__," + comention + """,
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+    )
+    triangles = (
+        "WITH RECURSIVE __SHARED__," + comention + """
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+"""
+    )
     out = {}
     for key, sql in (
         ("kg_pipeline_triples", pipeline),
         ("kg_entity_tool_affinity", affinity),
         ("kg_claims_qualifiers", claims),
+        ("kg_entities_dim", entities_dim),
+        ("kg_degree_distribution", degree_dist),
+        ("kg_triangle_count", triangles),
     ):
         out[key] = (
             sql.replace("__SHARED__", shared)
@@ -1584,6 +1758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_claims_qualifiers": _kg_claims_qualifiers,
         "kg_entity_tool_affinity": _kg_entity_tool_affinity,
         "kg_pipeline_triples": _kg_pipeline_triples,
+        "kg_entities_dim": _kg_entities_dim,
+        "kg_degree_distribution": _kg_degree_distribution,
+        "kg_triangle_count": _kg_triangle_count,
         # dedup / similarity / text
         "dedup_exact": _dedup_exact,
         "dedup_tokenset": _dedup_tokenset,
@@ -1651,6 +1828,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_claims_qualifiers": _SYNTH_KG_SQL["kg_claims_qualifiers"],
         "kg_entity_tool_affinity": _SYNTH_KG_SQL["kg_entity_tool_affinity"],
         "kg_pipeline_triples": _SYNTH_KG_SQL["kg_pipeline_triples"],
+        "kg_entities_dim": _SYNTH_KG_SQL["kg_entities_dim"],
+        "kg_degree_distribution": _SYNTH_KG_SQL["kg_degree_distribution"],
+        "kg_triangle_count": _SYNTH_KG_SQL["kg_triangle_count"],
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_tokenset": _DEDUP_TOKENSET_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
