@@ -1472,16 +1472,18 @@ LEFT JOIN comp c ON d.doc_id = c.doc_id
 
 
 def _dedup_minhash_clusters(spark, sf):
-    """The UNCAPPED minhash dedup: full documents table → LSH
-    candidate pairs → exact-Jaccard verify → connected components →
-    cluster assignments.  Output is linear in documents (one row per
-    doc) even though this corpus is pathologically templated — the
-    pair form of the same operator (``dedup_minhash_lsh``) needs a doc
-    cap precisely because its OUTPUT is quadratic in the data.
-    Rows-only driver check (LSH banding is approximate); cluster parity
-    vs exact pairs is gated in pytest."""
+    """The UNCAPPED minhash dedup: full documents table → LINEAR
+    star-edge candidates (per LSH bucket, member→hub) → exact-Jaccard
+    verify → connected components → cluster assignments.  Both the
+    output AND every intermediate are linear in documents even though
+    this corpus is pathologically templated: the pair-enumerating form
+    would verify 6.5M pairs at sf0.1 (52% of ALL doc pairs are true
+    near-dups — quadratic in the DATA, no plan fixes it), the star
+    form ≤ docs × bands edges.  Rows-only driver check (LSH banding is
+    approximate); cluster agreement vs the pair-verified ground truth
+    is gated in pytest."""
     docs = _t(spark, sf, "documents")
-    return D.near_dup_clusters(docs, method="minhash", threshold=0.6)
+    return D.near_dup_clusters(docs, method="minhash_star", threshold=0.6)
 
 
 _ANN_N_PROBES = 40

@@ -228,6 +228,36 @@ def test_near_dup_clusters_lsh_vs_exact_cluster_parity(spark):
     assert agree >= 0.9, f"cluster agreement {agree:.3f} < 0.9"
 
 
+def test_star_edges_linear_and_cluster_parity_vs_pairs(spark):
+    """The star-edge scale path: (1) every verified star edge is a
+    true near-dup pair (precision 1 by construction), (2) the
+    candidate edge count is ≤ docs × bands — linear even on a corpus
+    where the pair variant's verified OUTPUT alone is quadratic, and
+    (3) cluster assignments agree with the pair-verified clusters on
+    ≥ 90% of docs."""
+    docs = _docs(spark, 150)
+    star = D.minhash_lsh_star_edges(docs, threshold=0.7)
+    pair_rows = {(r.a, r.b) for r in D.minhash_lsh_pairs(docs, threshold=0.7).collect()}
+    star_rows = {(r.a, r.b) for r in star.collect()}
+    assert star_rows <= pair_rows  # every star edge is a verified true pair
+    n_docs = docs.count()
+    n_bands = D.pick_banding(0.7)
+    assert len(star_rows) <= n_docs * n_bands
+
+    pair_clusters = {
+        (r.doc_id, r.cluster_id)
+        for r in D.near_dup_clusters(docs, method="minhash", threshold=0.7).collect()
+    }
+    star_clusters = {
+        (r.doc_id, r.cluster_id)
+        for r in D.near_dup_clusters(
+            docs, method="minhash_star", threshold=0.7
+        ).collect()
+    }
+    agree = len(pair_clusters & star_clusters) / len(pair_clusters)
+    assert agree >= 0.9, f"star-vs-pair cluster agreement {agree:.3f} < 0.9"
+
+
 def test_bpe_token_count_basics(spark):
     from lexicator_spark.operators.textstats import with_bpe_token_count
 
