@@ -1062,6 +1062,26 @@ def _kg_degree_distribution(spark, sf):
     return G.degree_distribution(G.cooccurrence_edges(mentions))
 
 
+def _kg_pagerank_top(spark, sf):
+    """Top-10 entities of the co-mention graph by fixed-iteration
+    PageRank (operators/graph.py::pagerank — the engine's second
+    iterative-DataFrame algorithm after the CC fixpoint).  No SQL
+    oracle: standard SQL forbids aggregation in a recursive term, so
+    the iteration isn't expressible as a recursive CTE; exactness vs a
+    pure-Python implementation of the identical update rule (incl.
+    dangling redistribution) is gated in tests/test_graph.py."""
+    from lexicator_spark import rules
+    from lexicator_spark.operators import graph as G
+    from lexicator_spark.operators.extract import extract_triples, split_rejects
+
+    triples, _ = split_rejects(extract_triples(_synth_turns(spark)))
+    mentions = triples.filter(F.col("pred") == rules.PRED_MENTIONS).select(
+        "conv_id", F.col("obj").alias("surface")
+    )
+    ranks = G.pagerank(G.cooccurrence_edges(mentions), iterations=10)
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(10)
+
+
 def _kg_triangle_count(spark, sf):
     """Global triangle count of the co-mention graph via the
     degree-ordered orientation (operators/graph.py) — exact integer,
@@ -1471,6 +1491,93 @@ LEFT JOIN comp c ON d.doc_id = c.doc_id
 """
 
 
+def _corpus_curation(spark, sf):
+    """The end-to-end training-data export decision
+    (operators/curation.py): quality + langid + token count + exact-
+    Jaccard near-dup keep + content-hash train/val split, one row per
+    document with keep / first-failing drop_reason.  Capped at the
+    exact-Jaccard doc range so the DuckDB twin's quadratic pair join
+    stays cheap — the uncapped scale path (star-edge clusters feeding
+    the same curate_corpus) is pytest-covered."""
+    from lexicator_spark.operators import curation as CU
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _JACCARD_MAX_DOC)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.6, max_token_df=10**9)
+    clusters = D.near_dup_clusters(docs, pairs=pairs)
+    return CU.curate_corpus(
+        docs,
+        clusters=clusters,
+        min_tokens=5,
+        min_quality_bp=5000,
+        allowed_langs=("en",),
+        val_pct=10,
+    )
+
+
+def _corpus_curation_sql() -> str:
+    stop_list = ", ".join(repr(s) for s in TS.STOPWORDS)
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_JACCARD_MAX_DOC}
+), dtoks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM docs, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS n_tok FROM dtoks GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+  FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT c.a, c.b
+  FROM common c JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
+  WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - c.n_common AS DOUBLE) >= 0.6
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), walk(node, reach) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+), comp AS (
+  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+), keepdup AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) = d.doc_id AS dup_keep
+  FROM docs d LEFT JOIN comp c ON d.doc_id = c.doc_id
+), t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM docs
+), feats AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         CAST(len(list_filter(toks, x -> x IN ({stop_list}))) AS DOUBLE) AS ns,
+         list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) AS sl
+  FROM t
+), sel AS (
+  SELECT f.doc_id,
+         CAST(f.n AS INT) AS n_tokens,
+         CAST(floor(5000.0 * f.nd / f.n) AS BIGINT)
+           + CAST(floor(3000.0 * (f.n - f.ns) / f.n) AS BIGINT)
+           + least(CAST(floor(250.0 * f.sl / f.n) AS BIGINT), 2000) AS quality_bp,
+         {_langid_case()} AS lang_pred,
+         CAST(concat('0x', substr(md5(f.text), 1, 8)) AS BIGINT) % 100 AS bucket,
+         k.dup_keep
+  FROM feats f JOIN keepdup k ON f.doc_id = k.doc_id
+)
+SELECT doc_id, n_tokens, quality_bp, lang_pred,
+       CASE WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split,
+       dup_keep AND lang_pred IN ('en') AND n_tokens >= 5
+         AND quality_bp >= 5000 AS keep,
+       CASE WHEN NOT dup_keep THEN 'duplicate'
+            WHEN lang_pred NOT IN ('en') THEN 'lang'
+            WHEN n_tokens < 5 THEN 'too_short'
+            WHEN quality_bp < 5000 THEN 'low_quality' END AS drop_reason
+FROM sel
+"""
+
+
 def _dedup_minhash_clusters(spark, sf):
     """The UNCAPPED minhash dedup: full documents table → LINEAR
     star-edge candidates (per LSH bucket, member→hub) → exact-Jaccard
@@ -1600,7 +1707,9 @@ def _text_langid(spark, sf):
     return TS.with_langid(docs).select("doc_id", "lang_pred")
 
 
-def _langid_sql() -> str:
+def _langid_case() -> str:
+    """The langid CASE expression over a ``toks`` list column —
+    shared by the standalone langid twin and the curation twin."""
     cnt = {
         lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
         for lang, markers in TS.LANG_MARKERS.items()
@@ -1611,13 +1720,17 @@ def _langid_sql() -> str:
     for lang in langs:
         case += f"WHEN {cnt[lang]} = {m} THEN '{lang}' "
     case += "END"
+    return case
+
+
+def _langid_sql() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
   FROM documents
 )
-SELECT doc_id, {case} AS lang_pred FROM t
+SELECT doc_id, {_langid_case()} AS lang_pred FROM t
 """
 
 
@@ -1763,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_dim": _kg_entities_dim,
         "kg_degree_distribution": _kg_degree_distribution,
         "kg_triangle_count": _kg_triangle_count,
+        "kg_pagerank_top": _kg_pagerank_top,
         # dedup / similarity / text
         "dedup_exact": _dedup_exact,
         "dedup_tokenset": _dedup_tokenset,
@@ -1771,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_cluster_assign": _dedup_cluster_assign,
         "dedup_minhash_clusters": _dedup_minhash_clusters,
+        "corpus_curation": _corpus_curation,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "ann_cosine_top1": _ann_top1,
         "ann_lsh_top1": _ann_lsh,
@@ -1842,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_assign": _DEDUP_CLUSTER_ASSIGN_SQL,
         # dedup_minhash_clusters: LSH-backed (approximate candidate
         # generation) — cluster parity vs exact pairs gated in pytest.
+        "corpus_curation": _corpus_curation_sql(),
         "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_top1": _ANN_TOP1_SQL,
         # ann_lsh_top1 / ann_ivf_top1: approximate by design; recall vs

@@ -35,16 +35,67 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--refresh", action="store_true",
                     help="incremental Stage-A refresh (partition-level "
                          "upsert) + downstream recompute")
+    ap.add_argument("--dedup", default=None,
+                    choices=["exact", "minhash_star", "minhash", "jaccard",
+                             "simhash"],
+                    help="run near-dup cluster assignment over --input "
+                         "documents (doc_id, text) instead of the KG "
+                         "pipeline; writes (doc_id, cluster_id, keep) "
+                         "parquet to --out (minhash_star is the "
+                         "linear-candidate scale path)")
+    ap.add_argument("--threshold", type=float, default=0.6,
+                    help="Jaccard threshold for --dedup methods")
     ap.add_argument("--master", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     if not args.synth and not args.input:
         ap.error("one of --input / --synth is required")  # before JVM spin-up
+    if args.dedup and not args.input:
+        ap.error("--dedup requires --input (a documents parquet)")
 
     from lexicator_spark.session import get_spark
 
     master = args.master or (f"local[{args.cpus}]" if args.cpus else None)
     spark = get_spark(master=master, app_name="lexicator_spark_cli")
+
+    if args.dedup:
+        from pyspark.sql import functions as F
+
+        from lexicator_spark.operators import dedup as dedup_ops
+
+        docs = spark.read.parquet(args.input)
+        if args.dedup == "exact":
+            # exact md5 groups as star pairs (member→min id) so the
+            # output takes the same (doc_id, cluster_id, keep) shape
+            hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+            hubs = hashed.groupBy("h").agg(F.min("doc_id").alias("a"))
+            pairs = (
+                hashed.join(hubs, "h")
+                .filter(F.col("doc_id") != F.col("a"))
+                .select("a", F.col("doc_id").alias("b"))
+            )
+            clusters = dedup_ops.near_dup_clusters(docs, pairs=pairs)
+        else:
+            clusters = dedup_ops.near_dup_clusters(
+                docs, method=args.dedup, threshold=args.threshold
+            )
+        clusters.write.mode("overwrite").parquet(args.out)
+        persisted = spark.read.parquet(args.out)
+        n_docs = persisted.count()
+        n_keep = persisted.filter("keep").count()
+        print(
+            json.dumps(
+                {
+                    "dedup_method": args.dedup,
+                    "docs": n_docs,
+                    "clusters": n_keep,
+                    "dropped": n_docs - n_keep,
+                    "out": args.out,
+                }
+            )
+        )
+        spark.stop()
+        return 0
 
     if args.synth:
         from lexicator_spark import synth

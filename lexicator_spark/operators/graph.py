@@ -71,6 +71,94 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    undirected: bool = True,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank → ``(node, rank)``; ranks sum to 1.
+
+    The second iterative-DataFrame algorithm in the engine (alongside
+    the large-star/small-star connected components): each iteration is
+    ONE join (contributions = rank / out_degree shipped along edges)
+    plus ONE aggregation, both on narrow (node, double) frames —
+    out-degrees are computed once and joined into the rank frame, so
+    the per-iteration shuffle carries 16-byte rows regardless of graph
+    payload.  ``localCheckpoint`` every ``checkpoint_every`` rounds
+    truncates lineage exactly as the CC fixpoint does (at cluster
+    scale: a scratch table, same seam).
+
+    ``undirected=True`` symmetrizes the edge frame first, which also
+    guarantees no dangling nodes (every node has out-degree ≥ 1); for
+    directed graphs the dangling mass is redistributed uniformly each
+    iteration (the standard correction), keeping the distribution
+    stochastic.  Deterministic: pure arithmetic, no sampling — task
+    retries reproduce identical ranks."""
+    if undirected:
+        directed = edges.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    else:
+        directed = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    directed = directed.distinct()
+    nodes = (
+        directed.select(F.col("src").alias("node"))
+        .union(directed.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = nodes.join(out_deg, "node", "left").select(
+        "node",
+        F.lit(1.0 / n).alias("rank"),
+        F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+    ).localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+    for it in range(iterations):
+        contribs = (
+            directed.join(
+                ranks.filter(F.col("out_deg") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        # dangling nodes (out_deg == 0) leak their rank; redistribute
+        # it uniformly so the ranks stay a probability distribution
+        dangling = ranks.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
+        )
+        new_ranks = (
+            ranks.select("node", "out_deg")
+            .join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("mass") / n)
+                ).alias("rank"),
+                "out_deg",
+            )
+        )
+        ranks = (
+            new_ranks.localCheckpoint(eager=True)
+            if (it + 1) % checkpoint_every == 0 or it == iterations - 1
+            else new_ranks
+        )
+    return ranks.select("node", "rank")
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count as a 1-row ``(n_triangles)`` frame.
 

@@ -294,17 +294,29 @@ def stateful_replies_stream_buffered(
 
 
 def start_extract_stream_stateful(
-    turns_stream: DataFrame, out_dir: str, checkpoint_dir: str
+    turns_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    buffered: bool = False,
+    watermark_delay: str = "35 days",
 ):
     """Full streaming extraction INCLUDING cross-batch ``replies_to``:
     the stateless turn-local rules (one code path with batch) unioned
-    with the stateful replies stream, one sink, one checkpoint."""
+    with the stateful replies stream, one sink, one checkpoint.
+    ``buffered=True`` swaps in the event-time-buffered replies
+    operator for sources that do NOT deliver a conversation's turns in
+    order (replies then wait for the ``watermark_delay`` horizon
+    before finalizing)."""
     from lexicator_spark.operators.extract import extract_triples, split_rejects
 
     # turn-local rules run directly on the stream (no window needed
     # once replies_to comes from the stateful operator)
     local, _ = split_rejects(extract_triples(turns_stream, include_replies=False))
-    replies = stateful_replies_stream(turns_stream)
+    replies = (
+        stateful_replies_stream_buffered(turns_stream, watermark_delay)
+        if buffered
+        else stateful_replies_stream(turns_stream)
+    )
     return (
         local.unionByName(replies)
         .writeStream.outputMode("append")

@@ -47,6 +47,7 @@ def test_every_query_has_oracle_or_reason(spark):
         "ann_ivf_top1",
         "approx_aggs",
         "multimodal_features",
+        "kg_pagerank_top",  # iterative — not recursive-CTE-expressible
     }
 
 

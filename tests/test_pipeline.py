@@ -153,6 +153,38 @@ def test_entity_tool_affinity_matches_oracle(spark):
     assert got == expected
 
 
+def test_cli_dedup_verb(spark, tmp_path):
+    """--dedup runs near-dup cluster assignment instead of the KG
+    pipeline: (doc_id, cluster_id, keep) parquet with one keep per
+    cluster, every input doc present."""
+    import json
+    import subprocess
+    import sys
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "alpha beta gamma delta"), (4, "something entirely else")],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "clusters")
+    r = subprocess.run(
+        [sys.executable, "-m", "lexicator_spark",
+         "--input", docs_path, "--out", out,
+         "--dedup", "minhash_star", "--threshold", "0.6", "--cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    stats = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    assert stats["docs"] == 4 and stats["clusters"] + stats["dropped"] == 4
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # docs 1/2 are identical → same cluster, min id kept
+    assert rows[1].cluster_id == rows[2].cluster_id == 1
+    assert rows[1].keep and not rows[2].keep
+    assert rows[4].keep  # singleton keeps itself
+
+
 def test_cli_full_run_then_incremental_refresh(tmp_path):
     """CLI driver (SURVEY §2 #13): full run, then --refresh on the same
     out root — extract is served by the partition-level upsert (stage
