@@ -1578,6 +1578,41 @@ FROM sel
 """
 
 
+_PACK_BUDGET = 2048
+
+
+def _corpus_pack_sequences(spark, sf):
+    """Token-budget packing of the curated corpus into context
+    windows (operators/curation.py::pack_sequences): per split,
+    documents fill consecutive ``_PACK_BUDGET``-token bins in doc_id
+    order — the deterministic streaming-writer semantics, exactly a
+    window cumulative sum in both engines."""
+    from lexicator_spark.operators import curation as CU
+
+    docs = CU.with_split(_t(spark, sf, "documents"))
+    return CU.pack_sequences(docs, budget=_PACK_BUDGET)
+
+
+_CORPUS_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         CASE WHEN CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 100 < 10
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+), c AS (
+  SELECT split, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT split, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin,
+       CAST(cum - n_tokens AS BIGINT) AS tokens_before
+FROM c
+"""
+
+
 def _dedup_minhash_clusters(spark, sf):
     """The UNCAPPED minhash dedup: full documents table → LINEAR
     star-edge candidates (per LSH bucket, member→hub) → exact-Jaccard
@@ -1886,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_assign": _dedup_cluster_assign,
         "dedup_minhash_clusters": _dedup_minhash_clusters,
         "corpus_curation": _corpus_curation,
+        "corpus_pack_sequences": _corpus_pack_sequences,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "ann_cosine_top1": _ann_top1,
         "ann_lsh_top1": _ann_lsh,
@@ -1958,6 +1994,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash_clusters: LSH-backed (approximate candidate
         # generation) — cluster parity vs exact pairs gated in pytest.
         "corpus_curation": _corpus_curation_sql(),
+        "corpus_pack_sequences": _CORPUS_PACK_SQL,
         "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_top1": _ANN_TOP1_SQL,
         # ann_lsh_top1 / ann_ivf_top1: approximate by design; recall vs

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_token_count_bpe",
     "doc_fingerprint_rolling",
+    "corpus_pack_sequences",
 ]
 
 KG_N_CONVS = int(os.environ.get("BENCH_KG_CONVS", "300000"))  # ~1M turns

@@ -41,6 +41,53 @@ def with_split(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    partition_cols: tuple[str, ...] = ("split",),
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous token-budget packing: within each partition group,
+    documents (in ``order_col`` order) are assigned to consecutive
+    bins of ``budget`` tokens — ``bin = floor(tokens_before / budget)``
+    where ``tokens_before`` is the running token count of all earlier
+    docs in the group.  This is the streaming-writer semantics (fill
+    the current context window, start the next when it would
+    overflow¹), deterministic and exactly SQL-expressible as a window
+    cumulative sum.
+
+    ¹ A doc whose tokens straddle a boundary belongs to the bin its
+    FIRST token falls in — bins can therefore exceed ``budget`` by at
+    most one document's tail, exactly like a greedy packer that
+    truncates/continues across windows.
+
+    Scale note: the window orders WITHIN partition groups, so
+    parallelism = number of groups.  ``("split",)`` is fine for
+    test-scale corpora; at 100 TB pass ``("split", "p_hash")`` (or any
+    bucketing column) so each group is a bounded bucket — packing is a
+    per-bucket decision in real pipelines anyway (readers consume
+    buckets independently)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in partition_cols])
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(TS._toks(F.col(text_col)))
+    with_n = docs.withColumn("n_tokens", n_tok)
+    cum = F.sum("n_tokens").over(w)
+    return with_n.select(
+        *partition_cols,
+        order_col,
+        "n_tokens",
+        # floor, not cast: double→bigint CAST rounds in some engines
+        F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("bin"),
+        (cum - F.col("n_tokens")).alias("tokens_before"),
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     clusters: DataFrame | None = None,

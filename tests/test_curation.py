@@ -67,6 +67,26 @@ def test_curation_scale_path_star_clusters(spark):
     assert dup_drops == cluster_drops
 
 
+def test_pack_sequences_contiguous_fill(spark):
+    """budget=10, four 4-token docs: tokens_before 0,4,8,12 → bins
+    0,0,0,1 (a doc straddling the boundary belongs to the bin its
+    first token falls in); groups pack independently."""
+    rows = [("a", i, "w x y z") for i in range(4)] + [
+        ("b", 0, "p q"), ("b", 1, " ".join(["t"] * 9)), ("b", 2, "u v")
+    ]
+    docs = spark.createDataFrame(rows, "g string, doc_id long, text string")
+    out = {
+        (r.g, r.doc_id): (r.bin, r.tokens_before)
+        for r in CU.pack_sequences(
+            docs, budget=10, partition_cols=("g",)
+        ).collect()
+    }
+    assert out == {
+        ("a", 0): (0, 0), ("a", 1): (0, 4), ("a", 2): (0, 8), ("a", 3): (1, 12),
+        ("b", 0): (0, 0), ("b", 1): (0, 2), ("b", 2): (1, 11),
+    }
+
+
 def test_split_is_content_deterministic(spark):
     docs = _docs(spark)
     a = {r.doc_id: r.split for r in CU.with_split(docs).collect()}

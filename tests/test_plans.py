@@ -110,6 +110,48 @@ def test_lsh_band_join_carries_no_arrays(spark):
     assert all("toks" not in l for l in bucket_exchanges)
 
 
+def test_star_edges_shuffle_no_arrays_no_python(spark):
+    """The star-edge candidate stage (the 100-TB cluster path) keeps
+    the two scale properties of the pair path: bucket-keyed exchanges
+    carry (bucket, doc_id) only — token arrays rejoin by id solely for
+    the verify — and nothing evaluates in Python."""
+    from lexicator_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        exec_plan = (
+            D.minhash_lsh_star_edges(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bucket_exchanges = [
+        l for l in exec_plan.splitlines() if "hashpartitioning(bucket" in l
+    ]
+    assert bucket_exchanges, "bucket exchanges not found"
+    assert all("toks" not in l for l in bucket_exchanges)
+    assert "BatchEvalPython" not in exec_plan
+    assert "ArrowEvalPython" not in exec_plan
+
+
+def test_curation_is_single_pass_no_python(spark):
+    """curate_corpus without a cluster table is one projection over
+    the scan: no shuffle exchange at all, no Python eval, and column
+    pruning still reaches the reader."""
+    from lexicator_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(CU.curate_corpus(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "doc_id" in read_schema
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     """Two tables bucketed on the join key co-locate: the equi-join
     plan contains NO shuffle exchange on either side — the layout big
