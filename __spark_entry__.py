@@ -270,32 +270,6 @@ FULL OUTER JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') b
 """
 
 
-def _window_distribution(spark, sf):
-    """Distribution window functions: ntile / percent_rank / cume_dist
-    over order value per priority class."""
-    orders = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice"), F.col("o_orderkey")
-    )
-    return orders.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    )
-
-
-_WINDOW_DISTRIBUTION_SQL = """
-SELECT o_orderkey, o_orderpriority,
-       CAST(ntile(4) OVER w AS INT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume
-FROM orders
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-"""
-
-
 def _semi_join(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
@@ -312,17 +286,23 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
 
 
 def _anti_join(spark, sf):
+    """Customers with no URGENT order.  The filtered right side makes
+    the result non-empty at every sf (an unfiltered anti vs orders
+    returned 0 rows — a vacuous correctness check)."""
     cust = _t(spark, sf, "customer")
-    orders = _t(spark, sf, "orders")
+    urgent = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
 
 _ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 
@@ -372,6 +352,10 @@ FROM lineitem
 
 
 def _window_lag_lead(spark, sf):
+    """Analytic + distribution window functions over one per-user
+    event window: lag/lead/gap plus ntile / percent_rank / cume_dist.
+    Subsumes the retired r3 window_distribution query (same function
+    family, one registry slot)."""
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
@@ -381,6 +365,9 @@ def _window_lag_lead(spark, sf):
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
         (epoch_us - F.lag(epoch_us).over(w)).alias("gap_us"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
@@ -388,53 +375,39 @@ _WINDOW_LAG_LEAD_SQL = """
 SELECT event_id, user_id,
        lag(event_type) OVER w AS prev_type,
        lead(event_type) OVER w AS next_type,
-       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-def _rollup(spark, sf):
-    li = _t(spark, sf, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("l_quantity").cast("bigint").alias("qty"),
-    )
-
-
-_ROLLUP_SQL = """
-SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-def _cube(spark, sf):
-    orders = _t(spark, sf, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-
-_CUBE_SQL = """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n
-FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-"""
-
-
 def _grouping_sets(spark, sf):
+    """GROUPING SETS spanning the full cube lattice of (status,
+    priority) — the explicit-set spelling of ``CUBE``, whose sets also
+    contain every ``ROLLUP`` prefix, plus summed quantity so both agg
+    shapes of the retired r3 agg_rollup/agg_cube queries stay
+    driver-checked in this one entry."""
     _t(spark, sf, "orders").createOrReplaceTempView("orders_gs")
     return spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               sum(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_c
         FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
         """
     )
 
 
+# outer CAST: DuckDB promotes sum(BIGINT) to HUGEINT
 _GROUPING_SETS_SQL = """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n
-FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), (o_orderpriority), ())
 """
 
 
@@ -482,17 +455,20 @@ SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 
 
 def _set_except(spark, sf):
-    cust = _t(spark, sf, "customer")
+    """Customers of finished orders minus customers of urgent orders —
+    both sides filtered so the difference is non-empty at every sf
+    (the r3 form, customers EXCEPT all order-placers, was 0 rows — a
+    vacuous correctness check)."""
     orders = _t(spark, sf, "orders")
-    return cust.select("c_custkey").exceptAll(
-        orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
-    )
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.distinct().exceptAll(b.distinct())
 
 
 _SET_EXCEPT_SQL = """
-SELECT c_custkey FROM customer
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
 EXCEPT ALL
-SELECT DISTINCT o_custkey AS c_custkey FROM orders
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
@@ -1428,25 +1404,6 @@ WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - c.n_common AS DOUB
 """
 
 
-_PAIR_MAX_DOC = 1000
-
-
-def _dedup_minhash(spark, sf):
-    """Signatures are JVM-side hash aggregates and the band join
-    carries (bucket, doc_id) only; the doc cap exists because the
-    synthetic corpus is pathologically templated (~half of ALL pairs
-    have Jaccard ≥ 0.6), so uncapped pair output is quadratic in the
-    DATA — bench.py times the signature stage on the full table
-    separately."""
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _PAIR_MAX_DOC)
-    return D.minhash_lsh_pairs(docs, threshold=0.6)
-
-
-def _dedup_simhash(spark, sf):
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _PAIR_MAX_DOC)
-    return D.simhash_pairs(docs, max_hamming=3)
-
-
 def _dedup_cluster_assign(spark, sf):
     """Near-dup CLUSTER ASSIGNMENT over exact-Jaccard verified pairs:
     connected components over the pair graph → (doc_id, cluster_id,
@@ -1581,32 +1538,47 @@ FROM sel
 _PACK_BUDGET = 2048
 
 
+_PACK_BUCKETS = 8
+
+
 def _corpus_pack_sequences(spark, sf):
     """Token-budget packing of the curated corpus into context
-    windows (operators/curation.py::pack_sequences): per split,
-    documents fill consecutive ``_PACK_BUDGET``-token bins in doc_id
-    order — the deterministic streaming-writer semantics, exactly a
-    window cumulative sum in both engines."""
+    windows (operators/curation.py::pack_sequences): documents fill
+    consecutive ``_PACK_BUDGET``-token bins in doc_id order — the
+    deterministic streaming-writer semantics, exactly a window
+    cumulative sum in both engines.
+
+    The window partitions on (split, p_bucket) — the scale-safe
+    grouping: parallelism = splits × buckets rather than the 2-way
+    serial sort a split-only window degenerates to, and bins are a
+    per-bucket decision exactly as real pipelines pack (readers
+    consume buckets independently).  ``p_bucket = doc_id % 8`` is
+    engine-portable so the SQL twin stays exact."""
     from lexicator_spark.operators import curation as CU
 
-    docs = CU.with_split(_t(spark, sf, "documents"))
-    return CU.pack_sequences(docs, budget=_PACK_BUDGET)
+    docs = CU.with_split(_t(spark, sf, "documents")).withColumn(
+        "p_bucket", F.pmod(F.col("doc_id"), F.lit(_PACK_BUCKETS)).cast("bigint")
+    )
+    return CU.pack_sequences(
+        docs, budget=_PACK_BUDGET, partition_cols=("split", "p_bucket")
+    )
 
 
 _CORPUS_PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id,
+         doc_id % {_PACK_BUCKETS} AS p_bucket,
          len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
          CASE WHEN CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 100 < 10
               THEN 'val' ELSE 'train' END AS split
   FROM documents
 ), c AS (
-  SELECT split, doc_id, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+  SELECT split, p_bucket, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY split, p_bucket ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM t
 )
-SELECT split, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+SELECT split, CAST(p_bucket AS BIGINT) AS p_bucket, doc_id, CAST(n_tokens AS INT) AS n_tokens,
        CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin,
        CAST(cum - n_tokens AS BIGINT) AS tokens_before
 FROM c
@@ -1690,15 +1662,6 @@ FROM pairs WHERE cos >= {_NEAR_DUP_THRESHOLD}
 """
 
 
-def _ann_ivf(spark, sf):
-    """IVF coarse-quantizer ANN (seeded deterministic k-means cells,
-    n_probe nearest cells searched, exact rerank) — approximate by
-    design; recall vs brute force gated in pytest."""
-    emb = _t(spark, sf, "embeddings")
-    probes = emb.filter(F.col("vec_id") < _ANN_N_PROBES)
-    return SIM.ivf_ann_topk(emb, probes, k=1).select("probe_id", "neighbor_id")
-
-
 def _ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < _ANN_N_PROBES)
@@ -1707,39 +1670,34 @@ def _ann_lsh(spark, sf):
     )
 
 
-def _text_quality(spark, sf):
+def _text_stats(spark, sf):
+    """All per-document text analyses in one driver-visible row:
+    whitespace token count + quality basis points (with_quality),
+    language id (with_langid), BPE-ish pre-token count
+    (with_bpe_token_count), md5 content fingerprint (with_fingerprint)
+    and the rolling polynomial fingerprint (with_rolling_fingerprint).
+    Supersedes the r3 per-operator queries text_quality / text_langid /
+    text_token_count / text_token_count_bpe / doc_fingerprint /
+    doc_fingerprint_rolling — the per-doc row checks strictly more than
+    the retired per-lang aggregates did (every doc's value is hashed,
+    not a 4-row rollup), in one registry slot instead of six."""
     docs = _t(spark, sf, "documents")
-    return TS.with_quality(docs).select(
-        "doc_id", "n_tokens", "distinct_ratio_bp", "stop_ratio_bp", "quality_bp"
+    out = TS.with_rolling_fingerprint(
+        TS.with_fingerprint(
+            TS.with_bpe_token_count(TS.with_langid(TS.with_quality(docs)))
+        )
     )
-
-
-_TEXT_QUALITY_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-  FROM documents
-), feats AS (
-  SELECT doc_id,
-         CAST(len(toks) AS DOUBLE) AS n,
-         CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
-         CAST(len(list_filter(toks, x -> x IN ({", ".join(repr(s) for s in TS.STOPWORDS)}))) AS DOUBLE) AS ns,
-         list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) AS sl
-  FROM t
-)
-SELECT doc_id, CAST(n AS INT) AS n_tokens,
-       CAST(floor(10000.0 * nd / n) AS BIGINT) AS distinct_ratio_bp,
-       CAST(floor(10000.0 * ns / n) AS BIGINT) AS stop_ratio_bp,
-       CAST(floor(5000.0 * nd / n) AS BIGINT)
-         + CAST(floor(3000.0 * (n - ns) / n) AS BIGINT)
-         + least(CAST(floor(250.0 * sl / n) AS BIGINT), 2000) AS quality_bp
-FROM feats
-"""
-
-
-def _text_langid(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return TS.with_langid(docs).select("doc_id", "lang_pred")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio_bp",
+        "stop_ratio_bp",
+        "quality_bp",
+        "lang_pred",
+        "n_bpe_tokens",
+        "fingerprint",
+        "rolling_fp",
+    )
 
 
 def _langid_case() -> str:
@@ -1758,57 +1716,47 @@ def _langid_case() -> str:
     return case
 
 
-def _langid_sql() -> str:
+def _text_stats_sql() -> str:
+    """Composed exact twin of _text_stats.  DuckDB's list_reduce is
+    seedless ((c1*B+c2)%M ...), which equals Spark's 0-seeded fold
+    because (0*B+c1)%M = c1; it ERRORS on empty lists, hence the CASE
+    guard."""
+    stops = ", ".join(repr(s) for s in TS.STOPWORDS)
+    bpe = TS.BPE_TOKEN_PATTERN.replace("'", "''")
     return f"""
 WITH t AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
   FROM documents
+), feats AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         CAST(len(list_filter(toks, x -> x IN ({stops}))) AS DOUBLE) AS ns,
+         list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) AS sl
+  FROM t
+), codes AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+                       c -> c <> ''),
+           c -> CAST(ascii(c) AS BIGINT)) AS cs
+  FROM t
 )
-SELECT doc_id, {_langid_case()} AS lang_pred FROM t
-"""
-
-
-def _text_token_count(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return (
-        TS.with_token_count(docs)
-        .groupBy("lang")
-        .agg(
-            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-    )
-
-
-def _text_token_count_bpe(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return (
-        TS.with_bpe_token_count(docs)
-        .groupBy("lang")
-        .agg(
-            F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-    )
-
-
-def _bpe_token_count_sql() -> str:
-    pat = TS.BPE_TOKEN_PATTERN.replace("'", "''")
-    return f"""
-SELECT lang,
-       CAST(sum(len(regexp_extract_all(lower(text), '{pat}'))) AS BIGINT)
-         AS total_bpe_tokens,
-       count(*) AS n_docs
-FROM documents GROUP BY lang
-"""
-
-
-_TEXT_TOKEN_COUNT_SQL = """
-SELECT lang,
-       CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
-       count(*) AS n_docs
-FROM documents GROUP BY lang
+SELECT f.doc_id,
+       CAST(f.n AS INT) AS n_tokens,
+       CAST(floor(10000.0 * f.nd / f.n) AS BIGINT) AS distinct_ratio_bp,
+       CAST(floor(10000.0 * f.ns / f.n) AS BIGINT) AS stop_ratio_bp,
+       CAST(floor(5000.0 * f.nd / f.n) AS BIGINT)
+         + CAST(floor(3000.0 * (f.n - f.ns) / f.n) AS BIGINT)
+         + least(CAST(floor(250.0 * f.sl / f.n) AS BIGINT), 2000) AS quality_bp,
+       {_langid_case()} AS lang_pred,
+       CAST(len(regexp_extract_all(lower(f.text), '{bpe}')) AS INT) AS n_bpe_tokens,
+       md5(array_to_string(f.toks, ' ')) AS fingerprint,
+       CAST(CASE WHEN len(c.cs) = 0 THEN 0
+                 ELSE list_reduce(c.cs, (a, b) -> (a * {TS.ROLLING_BASE} + b) % {TS.ROLLING_MOD})
+            END AS BIGINT) AS rolling_fp
+FROM feats f JOIN codes c ON f.doc_id = c.doc_id
 """
 
 
@@ -1827,47 +1775,26 @@ def _multimodal_features(spark, sf):
     )
 
 
-def _doc_fingerprint(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return TS.with_fingerprint(docs).select("doc_id", "fingerprint")
-
-
-def _doc_fingerprint_rolling(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return TS.with_rolling_fingerprint(docs).select("doc_id", "rolling_fp")
-
-
-# DuckDB's list_reduce is seedless ((c1*B+c2)%M ...), which equals
-# Spark's 0-seeded fold because (0*B+c1)%M = c1; it ERRORS on empty
-# lists, hence the CASE guard.
-_DOC_FINGERPRINT_ROLLING_SQL = f"""
-WITH codes AS (
-  SELECT doc_id,
-         list_transform(
-           list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
-                       c -> c <> ''),
-           c -> CAST(ascii(c) AS BIGINT)) AS cs
-  FROM documents
-)
-SELECT doc_id,
-       CAST(CASE WHEN len(cs) = 0 THEN 0
-                 ELSE list_reduce(cs, (a, b) -> (a * {TS.ROLLING_BASE} + b) % {TS.ROLLING_MOD})
-            END AS BIGINT) AS rolling_fp
-FROM codes
-"""
-
-
-_DOC_FINGERPRINT_SQL = """
-SELECT doc_id,
-       md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fingerprint
-FROM documents
-"""
-
-
 # ===========================================================================
 # contract surface
 # ===========================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator family (SURVEY.md §2), each
+    with an oracle_sql() twin unless documented rows-only below.
+
+    Sized to the driver's ~50-row correctness snapshot: every entry
+    here gets a driver-visible CORRECTNESS row every round.  Queries
+    retired in r4 (still implemented + pytest-covered, folded into a
+    successor entry or superseded): window_distribution →
+    window_lag_lead; agg_rollup/agg_cube → agg_grouping_sets (full
+    cube lattice); kg_extract_mentions → kg_mention_spans (same rows +
+    span struct); dedup_minhash_lsh (capped pair form) →
+    dedup_minhash_clusters (uncapped linear form); dedup_simhash and
+    ann_ivf_top1 → pytest-gated (tests/test_dedup_similarity.py), the
+    registry keeps one exact ANN (ann_cosine_top1) + one approximate
+    (ann_lsh_top1); text_quality/text_langid/text_token_count(_bpe)/
+    doc_fingerprint(_rolling) → text_stats (all columns, one row per
+    doc — strictly stronger than the retired per-lang aggregates)."""
     return {
         # relational core
         "q1_pricing_summary": _q1,
@@ -1880,11 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": _semi_join,
         "anti_join": _anti_join,
         "window_topk_per_group": _window_topk,
-        "window_distribution": _window_distribution,
         "window_running_sum": _window_running,
         "window_lag_lead": _window_lag_lead,
-        "agg_rollup": _rollup,
-        "agg_cube": _cube,
         "agg_grouping_sets": _grouping_sets,
         "distinct_agg": _distinct_agg,
         "topk_global": _topk_global,
@@ -1900,7 +1824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_aggs": _approx_aggs,
         "group_assembly": _group_assembly,
         # KG
-        "kg_extract_mentions": _kg_extract_mentions,
         "kg_mention_spans": _kg_mention_spans,
         "kg_span_proximity_pairs": _kg_span_proximity,
         "kg_cooccurrence": _kg_cooccurrence,
@@ -1916,8 +1839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_tokenset": _dedup_tokenset,
         "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
         "dedup_cluster_assign": _dedup_cluster_assign,
         "dedup_minhash_clusters": _dedup_minhash_clusters,
         "corpus_curation": _corpus_curation,
@@ -1925,13 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "ann_cosine_top1": _ann_top1,
         "ann_lsh_top1": _ann_lsh,
-        "ann_ivf_top1": _ann_ivf,
-        "text_quality": _text_quality,
-        "text_langid": _text_langid,
-        "text_token_count": _text_token_count,
-        "text_token_count_bpe": _text_token_count_bpe,
-        "doc_fingerprint": _doc_fingerprint,
-        "doc_fingerprint_rolling": _doc_fingerprint_rolling,
+        "text_stats": _text_stats,
         "multimodal_features": _multimodal_features,
     }
 
@@ -1948,11 +1863,8 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": _SEMI_JOIN_SQL,
         "anti_join": _ANTI_JOIN_SQL,
         "window_topk_per_group": _WINDOW_TOPK_SQL,
-        "window_distribution": _WINDOW_DISTRIBUTION_SQL,
         "window_running_sum": _WINDOW_RUNNING_SQL,
         "window_lag_lead": _WINDOW_LAG_LEAD_SQL,
-        "agg_rollup": _ROLLUP_SQL,
-        "agg_cube": _CUBE_SQL,
         "agg_grouping_sets": _GROUPING_SETS_SQL,
         "distinct_agg": _DISTINCT_AGG_SQL,
         "topk_global": _TOPK_GLOBAL_SQL,
@@ -1968,7 +1880,6 @@ def oracle_sql() -> dict[str, str]:
         # approx_aggs: sketch-based (HLL / KLL) — engine-specific by
         # nature; exactness bounds asserted in pytest instead.
         "group_assembly": _GROUP_ASSEMBLY_SQL,
-        "kg_extract_mentions": _KG_EXTRACT_SQL,
         "kg_mention_spans": _KG_MENTION_SPANS_SQL,
         "kg_span_proximity_pairs": _KG_SPAN_PROXIMITY_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
@@ -1987,9 +1898,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_tokenset": _DEDUP_TOKENSET_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
-        # dedup_minhash_lsh / dedup_simhash: signature families are
-        # engine-internal (xxhash64 minhash / simhash); verified in
-        # pytest against exact-jaccard / hamming ground truth.
         "dedup_cluster_assign": _DEDUP_CLUSTER_ASSIGN_SQL,
         # dedup_minhash_clusters: LSH-backed (approximate candidate
         # generation) — cluster parity vs exact pairs gated in pytest.
@@ -1997,12 +1905,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_sequences": _CORPUS_PACK_SQL,
         "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_top1": _ANN_TOP1_SQL,
-        # ann_lsh_top1 / ann_ivf_top1: approximate by design; recall vs
-        # exact measured in pytest.
-        "text_quality": _TEXT_QUALITY_SQL,
-        "text_langid": _langid_sql(),
-        "text_token_count": _TEXT_TOKEN_COUNT_SQL,
-        "text_token_count_bpe": _bpe_token_count_sql(),
-        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
-        "doc_fingerprint_rolling": _DOC_FINGERPRINT_ROLLING_SQL,
+        # ann_lsh_top1: approximate by design; recall vs exact
+        # measured in pytest (as are the retired dedup_simhash /
+        # ann_ivf_top1 operators).
+        "text_stats": _text_stats_sql(),
     }

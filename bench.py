@@ -51,20 +51,22 @@ BENCH_QUERIES = [
     "window_topk_per_group",
     "time_bucket_agg",
     "asof_join_events",
-    "kg_extract_mentions",
+    "kg_mention_spans",
     "kg_span_proximity_pairs",
     "kg_connected_components",
     "dedup_tokenset",
-    "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     "dedup_embedding_cosine",
     "ann_cosine_top1",
     "ann_lsh_top1",
-    "text_quality",
-    "text_token_count_bpe",
-    "doc_fingerprint_rolling",
+    "text_stats",
     "corpus_pack_sequences",
 ]
+# r3→r4 renames (registry reconciliation): kg_extract_mentions →
+# kg_mention_spans (same extraction + span struct); text_quality +
+# text_token_count_bpe + doc_fingerprint_rolling → text_stats (one
+# pass, all columns); dedup_minhash_lsh (capped pair form) dropped —
+# superseded by the uncapped dedup_minhash_clusters.
 
 KG_N_CONVS = int(os.environ.get("BENCH_KG_CONVS", "300000"))  # ~1M turns
 
@@ -155,6 +157,29 @@ def main() -> None:
         _force(fn(docs_full))  # warm-up: codegen compile of the 32/64-agg plan
         timings[name] = _best_of(lambda: _force(fn(docs_full)))
 
+    # flagship LLM-data composition on the FULL documents table:
+    # star-edge LSH clustering → curation gate → bucket-scoped packing
+    # (the linear 100-TB shapes end-to-end), with its own wall/row
+    # headline next to the KG pipeline's
+    from lexicator_spark.operators import curation as CU
+
+    def run_curation_full():
+        clusters = dedup_ops.near_dup_clusters(
+            docs_full, method="minhash_star", threshold=0.6
+        )
+        cur = CU.curate_corpus(docs_full, clusters)
+        kept = docs_full.join(
+            cur.filter(F.col("keep")).select("doc_id", "split"), "doc_id"
+        ).withColumn("p_bucket", F.pmod(F.col("doc_id"), F.lit(8)))
+        _force(
+            CU.pack_sequences(
+                kept, budget=2048, partition_cols=("split", "p_bucket")
+            )
+        )
+
+    timings["corpus_curation_full"] = _best_of(run_curation_full)
+    n_docs_full = docs_full.count()
+
     kg = min(
         (run_kg_pipeline(spark, corpus_path) for _ in range(2)),
         key=lambda r: r["kg_pipeline_sec"],
@@ -177,6 +202,10 @@ def main() -> None:
     kg["kg_pipeline_materialized_sec"] = round(mat_wall, 3)
     kg["kg_turns_per_sec_materialized"] = round(kg["kg_n_turns"] / mat_wall, 1)
     timings["kg_pipeline_materialized"] = kg["kg_pipeline_materialized_sec"]
+    kg["curation_full_docs"] = n_docs_full
+    kg["curation_full_docs_per_sec"] = round(
+        n_docs_full / timings["corpus_curation_full"], 1
+    )
 
     # both extraction impls, for the native-vs-pandas tradeoff record;
     # warm the Python workers first (since the dedup signatures went

@@ -40,15 +40,19 @@ def test_every_query_has_oracle_or_reason(spark):
     assert os_ <= qs
     rows_only = qs - os_
     assert rows_only == {
-        "dedup_minhash_lsh",
-        "dedup_simhash",
         "dedup_minhash_clusters",
         "ann_lsh_top1",
-        "ann_ivf_top1",
         "approx_aggs",
         "multimodal_features",
         "kg_pagerank_top",  # iterative — not recursive-CTE-expressible
     }
+
+
+def test_registry_fits_driver_snapshot():
+    """The driver's correctness snapshot holds ~50 rows; every
+    registered query must be driver-visible (the r3 registry had 61
+    entries and 11 green queries silently rotated out)."""
+    assert len(entrymod.queries()) <= 50
 
 
 def test_synth_fixture_matches_generator(spark):
