@@ -332,8 +332,9 @@ def near_dup_clusters(
     (A, C) itself was never emitted as a pair.
 
     Numeric ids are zero-padded to ``_ID_PAD`` digits for the CC node
-    labels so string-min equals numeric-min, then decoded back; ids
-    must be non-negative.  With ``include_singletons`` every document
+    labels so string-min equals numeric-min, then decoded back; a
+    negative numeric id fails the job (raise_error inline in the
+    encode) rather than silently mis-ordering.  With ``include_singletons`` every document
     appears in the output (docs with no near-dup keep themselves) —
     the frame is then a total keep/drop decision for the corpus.
     """
@@ -360,7 +361,22 @@ def near_dup_clusters(
     dt = dict(docs.dtypes)[id_col]
     numeric = dt in ("tinyint", "smallint", "int", "bigint")
     if numeric:
-        enc = lambda c: F.lpad(c.cast("string"), _ID_PAD, "0")
+        # enforced, not advisory: a negative id would lpad-encode to
+        # e.g. '000…0-5', whose lexicographic order diverges from
+        # numeric order and silently corrupts cluster_id/keep — fail
+        # the job instead (checked row-inline, no extra pass)
+        ok = lambda c: F.when(c >= 0, c).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "near_dup_clusters: numeric ids must be "
+                        "non-negative, got "
+                    ),
+                    c.cast("string"),
+                )
+            )
+        )
+        enc = lambda c: F.lpad(ok(c).cast("string"), _ID_PAD, "0")
         dec = lambda c: c.cast(dt)
     else:
         enc = lambda c: c.cast("string")

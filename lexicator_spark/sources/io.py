@@ -170,6 +170,12 @@ def upsert_partitions(
         )
     hashed = with_partition_hash(df, partition_key, n_buckets)
     if touched_buckets is not None:
+        # pin ONE evaluation of the replacement frame: `present` and
+        # the write below must see identical rows, or a lazily-self-
+        # reading / nondeterministic input could count a bucket
+        # present yet write it empty — escaping deletion and
+        # resurrecting stale rows
+        hashed = hashed.localCheckpoint(eager=True)
         present = {
             r.p_hash for r in hashed.select("p_hash").distinct().collect()
         }

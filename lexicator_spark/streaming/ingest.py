@@ -21,6 +21,25 @@ from pyspark.sql import types as T
 
 from lexicator_spark.operators.extract import extract_triples, split_rejects
 
+_INTERVAL_UNIT_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "minutes": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "hours": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+    "days": 86_400 * 1_000_000,
+}
+
+
+def _interval_us(delay: str) -> int:
+    """Parse the simple ``"N units"`` subset of Spark's watermark
+    delay strings (what this module accepts) into microseconds."""
+    n, unit = delay.strip().split()
+    return int(n) * _INTERVAL_UNIT_US[unit.lower()]
+
+
 TURN_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -204,22 +223,38 @@ def stateful_replies_stream_buffered(
     Per conversation, turns are held in state until the event-time
     watermark passes them, then emitted in ``turn_idx`` order, each
     linking to the previously-emitted turn — exactly the batch
-    ``lag`` semantics.  Correctness leans on the watermark contract:
-    a turn is finalized only once no earlier event-time row can still
-    arrive (the engine drops rows older than the watermark), plus the
-    transcript invariant that ``ts`` is monotone in ``turn_idx``
-    within a conversation (true of appended conversation logs; the
-    synth generator preserves it).
+    ``lag`` semantics.  Ordering is PURELY by ``turn_idx``; the flush
+    guard is the RUNNING MAX of buffered timestamps in idx order, so
+    ``ts`` monotone in ``turn_idx`` is NOT assumed (r3 required it).
+    A turn finalizes only when the watermark has strictly passed every
+    timestamp seen at or before its idx — and since the watermark is
+    monotone, also every already-emitted turn's timestamp.  A
+    predecessor can therefore only be missed if it arrives with an
+    event time that exceeds ALL its successors' by more than the
+    watermark delay — the standard bounded-disorder contract any
+    watermarked operator has, instead of a bespoke transcript
+    invariant.  (Strictly ``>=``: the engine only drops rows strictly
+    older than the watermark, so a row with ts == watermark can still
+    arrive and must keep its successors unfinalized.)
 
-    State per conversation is (last emitted idx, buffered prefix) —
+    State per conversation is (last emitted idx, buffered suffix) —
     bounded by the watermark horizon, NOT the conversation length:
     every watermark advance flushes the passed prefix.  Timeout
-    handling: an ``EventTimeTimeout`` is armed at the earliest
-    buffered turn's timestamp so a conversation with no further
-    arrivals still flushes when the watermark passes it."""
+    handling: with turns buffered, an ``EventTimeTimeout`` is armed at
+    the earliest buffered turn's timestamp so a quiet conversation
+    still flushes when the watermark passes it; once fully drained,
+    a cleanup timeout is armed one ``watermark_delay`` past the last
+    emitted timestamp and the state is REMOVED when it fires — the
+    state store does not grow with conversations ever seen.  After
+    eviction a late successor would start a fresh chain (no edge),
+    which can only happen across an event-time gap of at least
+    ``watermark_delay`` — the same TTL contract as the unbuffered
+    variant."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from lexicator_spark import rules
+
+    ttl_us = _interval_us(watermark_delay)
 
     def fn(key, pdfs, state):
         conv_id = key[0]
@@ -240,10 +275,13 @@ def stateful_replies_stream_buffered(
                     buf[idx] = us
         wm_us = state.getCurrentWatermarkMs() * 1_000
         rows = []
+        run_max = -1
+        last_emitted_us = -1
         for idx in sorted(buf):
             us = buf[idx]
-            if us > wm_us:
-                break  # only the watermark-passed PREFIX is final
+            run_max = max(run_max, us)
+            if run_max >= wm_us:
+                break  # only the strictly-passed prefix is final
             if last_idx is not None:
                 rows.append(
                     (
@@ -257,6 +295,7 @@ def stateful_replies_stream_buffered(
                     )
                 )
             last_idx = idx
+            last_emitted_us = us
             del buf[idx]
         if buf:
             idxs = sorted(buf)
@@ -264,10 +303,21 @@ def stateful_replies_stream_buffered(
             state.setTimeoutTimestamp(
                 max(buf[idxs[0]] // 1_000, state.getCurrentWatermarkMs() + 1)
             )
+        elif state.hasTimedOut and not rows:
+            # cleanup fire on a drained conversation: nothing arrived
+            # for a full watermark_delay past the last emitted turn
+            state.remove()
         else:
             # keep last_idx: later turns (ts above the watermark) may
-            # still arrive and must link back to it
+            # still arrive and must link back to it — but only for a
+            # bounded horizon (cleanup timeout), not forever
             state.update((last_idx, [], []))
+            cleanup_ms = (
+                max(last_emitted_us, wm_us) + ttl_us
+            ) // 1_000
+            state.setTimeoutTimestamp(
+                max(cleanup_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if rows:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _REPLIES_OUT_SCHEMA.fields]

@@ -195,6 +195,20 @@ def test_near_dup_clusters_transitive_closure(spark):
     assert got == {(1, 1, True), (2, 1, False), (3, 1, False), (9, 9, True)}
 
 
+def test_near_dup_clusters_rejects_negative_numeric_ids(spark):
+    """A negative numeric id would lpad-encode to '000…0-5', whose
+    string order diverges from numeric order — the encode must fail
+    the job instead of silently mis-clustering."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(-5, "x"), (2, "x")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(-5, 2)], "a long, b long")
+    with pytest.raises(Exception, match="non-negative"):
+        D.near_dup_clusters(docs, pairs=pairs).collect()
+
+
 def test_near_dup_clusters_string_ids_and_no_singletons(spark):
     docs = spark.createDataFrame(
         [("d1", "x"), ("d2", "x"), ("d3", "y")], "doc_id string, text string"

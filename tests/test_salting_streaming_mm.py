@@ -241,6 +241,89 @@ def test_buffered_replies_stream_matches_batch_out_of_order(spark, tmp_path):
     assert got == batch and got
 
 
+def test_buffered_replies_nonmonotone_ts_matches_batch(spark, tmp_path):
+    """The buffered operator must NOT rely on ts being monotone in
+    turn_idx (r3 did): conversations here have deliberately
+    non-monotone timestamps (a later turn carries an EARLIER event
+    time, disorder well inside the watermark delay), rows arrive
+    scattered across micro-batches, and the emitted replies_to set
+    must still equal the batch lag-over-turn_idx semantics.  The
+    running-max flush guard holds a small-ts successor back until the
+    watermark strictly passes every timestamp at or before its idx."""
+    import glob
+    import shutil
+    import time as _time
+    from datetime import timedelta
+
+    from lexicator_spark import rules
+    from lexicator_spark.operators.extract import extract_triples
+    from lexicator_spark.streaming.ingest import stateful_replies_stream_buffered
+
+    E = synth.EPOCH
+    rows = [
+        # conv a: zig-zag ts (idx 1 later than idx 2's event time)
+        ("conv_a", 0, "user", "hello", None, E + timedelta(days=1)),
+        ("conv_a", 1, "assistant", "hi", None, E + timedelta(days=3)),
+        ("conv_a", 2, "user", "again", None, E + timedelta(days=2)),
+        ("conv_a", 3, "assistant", "sure", None, E + timedelta(days=2, hours=12)),
+        ("conv_a", 4, "user", "bye", None, E + timedelta(days=4)),
+        # conv b: strictly DECREASING ts in idx order
+        ("conv_b", 0, "user", "first by idx", None, E + timedelta(days=9)),
+        ("conv_b", 1, "assistant", "second by idx", None, E + timedelta(days=8)),
+        ("conv_b", 2, "user", "third by idx", None, E + timedelta(days=7)),
+    ]
+    input_dir = tmp_path / "turns_in"
+    input_dir.mkdir()
+    # one row per micro-batch, in a fixed scattered order
+    order = [4, 0, 6, 2, 1, 7, 3, 5]
+    chunks = [[rows[i]] for i in order]
+    far = E + timedelta(days=90)
+    chunks.append([("wm_sentinel", 0, "user", "advance", None, far)])
+    chunks.append(
+        [("wm_sentinel", 1, "user", "again", None, far + timedelta(days=1))]
+    )
+    for i, chunk in enumerate(chunks):
+        staging = str(tmp_path / f"w{i}")
+        synth.corpus_df(spark, synth.Corpus(rows=chunk)).coalesce(1).write.parquet(
+            staging
+        )
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = str(input_dir / f"chunk_{i:04d}.parquet")
+        shutil.copy(part, dst)
+        t = _time.time() + i
+        os.utime(dst, (t, t))
+
+    stream = (
+        spark.readStream.schema(TURN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir))
+    )
+    q = (
+        stateful_replies_stream_buffered(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("buf_replies_nm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.subj, r.obj)
+        for r in spark.sql(
+            "SELECT * FROM buf_replies_nm WHERE conv_id != 'wm_sentinel'"
+        ).collect()
+    }
+    batch = {
+        (r.subj, r.obj)
+        for r in extract_triples(
+            synth.corpus_df(spark, synth.Corpus(rows=rows))
+        )
+        .filter(F.col("pred") == rules.PRED_REPLIES_TO)
+        .collect()
+    }
+    assert got == batch and len(got) == 6
+
+
 def test_streaming_dedup_drops_replayed_turns(spark, tmp_path):
     """At-least-once replay: the same turns delivered twice dedup to
     one copy in-flight (bounded state via watermark eviction)."""
