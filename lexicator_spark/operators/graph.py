@@ -25,20 +25,43 @@ from pyspark.sql import functions as F
 
 
 def cooccurrence_edges(
-    mentions: DataFrame, by: str = "conv_id", node_col: str = "surface"
-) -> DataFrame:
+    mentions: DataFrame,
+    by: str = "conv_id",
+    node_col: str = "surface",
+    max_nodes_per_group: int | None = None,
+):
     """Undirected co-occurrence edges ``(a, b)`` with ``a < b``: two
     nodes are connected iff they appear in the same ``by`` group.
 
     One shuffle on ``by``; the within-group self-join is quadratic in
     the group's DISTINCT node count, which for entity mentions per
     conversation is bounded by the vocabulary a single conversation
-    can mention — small and independent of corpus size.  Groups with
-    pathological fan-out (a conversation mentioning thousands of
-    distinct entities) should be length-capped upstream."""
+    can mention — small and independent of corpus size.
+
+    ``max_nodes_per_group`` makes that bound ENFORCED rather than
+    assumed: groups whose distinct node count exceeds it are excluded
+    from the self-join (capping edge output at
+    ``groups · cap²``) and reported in a second ``(by, n_nodes)``
+    overflow frame instead of being silently dropped — callers decide
+    whether to log, sample, or reprocess them.  With a cap the return
+    value is the pair ``(edges, overflow)``; with ``None`` (default)
+    it stays the single edges frame."""
     nodes = mentions.select(by, node_col).distinct()
+    overflow = None
+    if max_nodes_per_group is not None:
+        counts = nodes.groupBy(by).agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        )
+        overflow = counts.filter(F.col("n_nodes") > max_nodes_per_group).select(
+            by, "n_nodes"
+        )
+        nodes = nodes.join(
+            counts.filter(F.col("n_nodes") <= max_nodes_per_group).select(by),
+            by,
+            "left_semi",
+        )
     x, y = nodes.alias("x"), nodes.alias("y")
-    return (
+    edges = (
         x.join(y, by)
         .filter(F.col(f"x.{node_col}") < F.col(f"y.{node_col}"))
         .select(
@@ -46,6 +69,7 @@ def cooccurrence_edges(
         )
         .distinct()
     )
+    return edges if max_nodes_per_group is None else (edges, overflow)
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -76,19 +100,34 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     undirected: bool = True,
-    checkpoint_every: int = 3,
+    tol: float | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Fixed-iteration PageRank → ``(node, rank)``; ranks sum to 1.
+    """PageRank → ``(node, rank)``; ranks sum to 1.
 
     The second iterative-DataFrame algorithm in the engine (alongside
     the large-star/small-star connected components): each iteration is
-    ONE join (contributions = rank / out_degree shipped along edges)
-    plus ONE aggregation, both on narrow (node, double) frames —
-    out-degrees are computed once and joined into the rank frame, so
+    ONE join (contributions = rank · w / out_weight shipped along
+    edges) plus ONE aggregation, both on narrow (node, double) frames
+    — out-weights are computed once and joined into the rank frame, so
     the per-iteration shuffle carries 16-byte rows regardless of graph
-    payload.  ``localCheckpoint`` every ``checkpoint_every`` rounds
-    truncates lineage exactly as the CC fixpoint does (at cluster
-    scale: a scratch table, same seam).
+    payload.  Every round ``localCheckpoint``s the new rank frame
+    (truncating lineage exactly as the CC fixpoint does; at cluster
+    scale: a scratch table, same seam) and runs ONE scalar aggregation
+    over it producing (next dangling mass, max |Δrank|) together — the
+    dangling mass enters the next round as a literal, so the r3
+    one-row ``crossJoin(broadcast(...))`` and its per-round
+    BroadcastExchange are gone from the plan.
+
+    ``tol`` adds the convergence stop a real 100-TB job runs: iterate
+    until ``max |rank − prev| < tol`` or ``iterations``, whichever
+    first — the delta rides the same per-round scalar aggregation, so
+    the stop costs nothing extra.  ``tol=None`` reproduces the exact
+    fixed-iteration semantics (the pytest Python twin).
+
+    ``weight_col`` names an edge-weight column for weighted PageRank
+    (contributions proportional to weight); parallel weighted edges
+    are merged by summing, unweighted edges are deduplicated.
 
     ``undirected=True`` symmetrizes the edge frame first, which also
     guarantees no dangling nodes (every node has out-degree ≥ 1); for
@@ -96,13 +135,24 @@ def pagerank(
     iteration (the standard correction), keeping the distribution
     stochastic.  Deterministic: pure arithmetic, no sampling — task
     retries reproduce identical ranks."""
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    fwd = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"), w.alias("w"))
     if undirected:
-        directed = edges.select(
-            F.col("a").alias("src"), F.col("b").alias("dst")
-        ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        directed = fwd.unionAll(
+            edges.select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), w.alias("w")
+            )
+        )
     else:
-        directed = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    directed = directed.distinct()
+        directed = fwd
+    if weight_col is None:
+        directed = directed.distinct()
+    else:
+        directed = directed.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     nodes = (
         directed.select(F.col("src").alias("node"))
         .union(directed.select(F.col("dst").alias("node")))
@@ -111,51 +161,55 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = directed.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    out_w = directed.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("out_w")
     )
-    ranks = nodes.join(out_deg, "node", "left").select(
+    ranks = nodes.join(out_w, "node", "left").select(
         "node",
         F.lit(1.0 / n).alias("rank"),
-        F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+        F.coalesce(F.col("out_w"), F.lit(0.0)).alias("out_w"),
     ).localCheckpoint(eager=True)
+    # dangling nodes (out_w == 0) leak their rank; redistributed
+    # uniformly so the ranks stay a probability distribution
+    dangling_mass = F.coalesce(
+        F.sum(F.when(F.col("out_w") == 0.0, F.col("rank"))), F.lit(0.0)
+    )
+    mass = ranks.agg(dangling_mass.alias("m")).first()["m"]
     base = (1.0 - damping) / n
-    for it in range(iterations):
+    for _ in range(iterations):
         contribs = (
             directed.join(
-                ranks.filter(F.col("out_deg") > 0).select(
+                ranks.filter(F.col("out_w") > 0).select(
                     F.col("node").alias("src"),
-                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                    (F.col("rank") / F.col("out_w")).alias("unit"),
                 ),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").alias("contrib"))
+            .agg(F.sum(F.col("unit") * F.col("w")).alias("contrib"))
         )
-        # dangling nodes (out_deg == 0) leak their rank; redistribute
-        # it uniformly so the ranks stay a probability distribution
-        dangling = ranks.filter(F.col("out_deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
-        )
-        new_ranks = (
-            ranks.select("node", "out_deg")
+        ranks = (
+            ranks.select("node", "out_w", F.col("rank").alias("prev"))
             .join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("mass") / n)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(mass / n))
                 ).alias("rank"),
-                "out_deg",
+                "out_w",
+                "prev",
             )
+            .localCheckpoint(eager=True)
         )
-        ranks = (
-            new_ranks.localCheckpoint(eager=True)
-            if (it + 1) % checkpoint_every == 0 or it == iterations - 1
-            else new_ranks
-        )
+        stats = ranks.agg(
+            dangling_mass.alias("m"),
+            F.max(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+        ).first()
+        mass = stats["m"]
+        if tol is not None and stats["delta"] < tol:
+            break
     return ranks.select("node", "rank")
 
 

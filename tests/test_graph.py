@@ -46,35 +46,50 @@ def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
-def _py_pagerank(pairs, damping=0.85, iterations=10, undirected=True):
-    """Reference implementation of the exact same fixed-iteration
-    update rule (incl. uniform dangling-mass redistribution)."""
-    edges = set()
-    for a, b in pairs:
-        edges.add((a, b))
-        if undirected:
-            edges.add((b, a))
+def _py_pagerank(
+    pairs, damping=0.85, iterations=10, undirected=True, tol=None, weighted=False
+):
+    """Reference implementation of the exact same update rule (incl.
+    uniform dangling-mass redistribution, optional edge weights, and
+    the max-|Δ| convergence stop).  Returns (ranks, iterations_run)."""
+    edges: dict[tuple, float] = {}
+    seen = set()
+    for p in pairs:
+        a, b, w = p if weighted else (p[0], p[1], 1.0)
+        ab = [(a, b, w)] + ([(b, a, w)] if undirected else [])
+        for u, v, wt in ab:
+            if weighted:
+                edges[(u, v)] = edges.get((u, v), 0.0) + wt
+            elif (u, v) not in seen:
+                seen.add((u, v))
+                edges[(u, v)] = 1.0
     nodes = sorted({x for e in edges for x in e})
     n = len(nodes)
-    out = {u: 0 for u in nodes}
-    for u, _v in edges:
-        out[u] += 1
+    out = {u: 0.0 for u in nodes}
+    for (u, _v), w in edges.items():
+        out[u] += w
     rank = {u: 1.0 / n for u in nodes}
+    it_run = 0
     for _ in range(iterations):
         contrib = {u: 0.0 for u in nodes}
-        for u, v in edges:
-            contrib[v] += rank[u] / out[u]
+        for (u, v), w in edges.items():
+            contrib[v] += rank[u] / out[u] * w
         dangling = sum(rank[u] for u in nodes if out[u] == 0)
-        rank = {
+        new = {
             u: (1 - damping) / n + damping * (contrib[u] + dangling / n)
             for u in nodes
         }
-    return rank
+        delta = max(abs(new[u] - rank[u]) for u in nodes)
+        rank = new
+        it_run += 1
+        if tol is not None and delta < tol:
+            break
+    return rank, it_run
 
 
 def test_pagerank_matches_reference_undirected(spark):
     pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("a", "c")]
-    want = _py_pagerank(pairs)
+    want, _ = _py_pagerank(pairs)
     got = {
         r.node: r.rank for r in G.pagerank(_edges_df(spark, pairs)).collect()
     }
@@ -94,10 +109,57 @@ def test_pagerank_directed_with_dangling(spark):
         r.node: r.rank
         for r in G.pagerank(df, undirected=False, iterations=8).collect()
     }
-    want = _py_pagerank(pairs, iterations=8, undirected=False)
+    want, _ = _py_pagerank(pairs, iterations=8, undirected=False)
     assert all(abs(got[u] - want[u]) < 1e-9 for u in want)
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["w"] > got["v"] > got["u"]
+
+
+def test_pagerank_tol_early_exit_matches_twin(spark):
+    """With tol set, iteration stops at max |Δrank| < tol: the Spark
+    result equals the Python twin running the SAME stopping rule, and
+    the twin confirms convergence happened well before the iteration
+    cap — so Spark must have stopped early too (running the remaining
+    rounds would have changed the ranks)."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("a", "c")]
+    want, it_run = _py_pagerank(pairs, iterations=60, tol=1e-10)
+    assert it_run < 60  # the fixture converges early
+    got = {
+        r.node: r.rank
+        for r in G.pagerank(
+            _edges_df(spark, pairs), iterations=60, tol=1e-10
+        ).collect()
+    }
+    assert all(abs(got[u] - want[u]) < 1e-9 for u in want)
+    # and differs from a deliberately-short fixed run: the stop really
+    # ran extra rounds past iteration 2
+    short, _ = _py_pagerank(pairs, iterations=2)
+    assert any(abs(short[u] - got[u]) > 1e-9 for u in want)
+
+
+def test_pagerank_weighted_matches_twin(spark):
+    """Edge weights: contributions proportional to weight, parallel
+    weighted edges merged by summing — exact vs the Python twin."""
+    triples = [
+        ("a", "b", 3.0),
+        ("a", "c", 1.0),
+        ("b", "c", 2.0),
+        ("c", "a", 0.5),
+        ("a", "b", 1.0),  # parallel edge: merges to w=4
+    ]
+    df = spark.createDataFrame(triples, "a string, b string, w double")
+    want, _ = _py_pagerank(
+        triples, iterations=8, undirected=False, weighted=True
+    )
+    got = {
+        r.node: r.rank
+        for r in G.pagerank(
+            df, iterations=8, undirected=False, weight_col="w"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[u] - want[u]) < 1e-9 for u in want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
 def test_cooccurrence_edges(spark):
@@ -113,3 +175,24 @@ def test_cooccurrence_edges(spark):
         (r.a, r.b) for r in G.cooccurrence_edges(mentions).collect()
     }
     assert got == {("x", "y"), ("y", "z")}
+
+
+def test_cooccurrence_fanout_cap_and_overflow(spark):
+    """One pathological conversation mentioning many distinct entities
+    must not produce quadratic edges when a cap is set: the group is
+    excluded from the self-join and reported on the overflow channel,
+    while normal groups are unaffected."""
+    rows = [("big", f"e{i:03d}") for i in range(50)] + [
+        ("c1", "x"),
+        ("c1", "y"),
+        ("c2", "y"),
+        ("c2", "z"),
+    ]
+    mentions = spark.createDataFrame(rows, "conv_id string, surface string")
+    edges, overflow = G.cooccurrence_edges(mentions, max_nodes_per_group=10)
+    got = {(r.a, r.b) for r in edges.collect()}
+    assert got == {("x", "y"), ("y", "z")}  # no 50·49/2 blowup
+    ov = {(r.conv_id, r.n_nodes) for r in overflow.collect()}
+    assert ov == {("big", 50)}
+    # uncapped call keeps the single-frame return shape
+    assert len(G.cooccurrence_edges(mentions).columns) == 2
