@@ -64,40 +64,73 @@ def _is_done(spark: SparkSession, root: str, stage: str) -> bool:
     return fsutil.exists(spark, _ckpt_path(root, stage))
 
 
-def _append_lineage(spark: SparkSession, root: str, row: dict) -> None:
-    # built from JVM literals, NOT createDataFrame([...]): a
-    # Python-list-backed frame spins up a Python worker per default
-    # slice just to write one row (~5 s per append at local[32])
-    df = spark.range(1).select(
-        F.lit(row["stage"]).alias("stage"),
-        F.lit(-1).cast("int").alias("partition_id"),  # -1 = stage-level
-        F.lit(row["rows_in"]).cast("bigint").alias("rows_in"),
-        F.lit(row["rows_out"]).cast("bigint").alias("rows_out"),
-        F.lit(row["wall_ms"]).cast("bigint").alias("wall_ms"),
-        F.lit(row["n_partitions"]).cast("int").alias("n_partitions"),
-    )
-    df.coalesce(1).write.mode("append").parquet(os.path.join(root, "_lineage"))
-
-
-def _append_partition_lineage(
-    spark: SparkSession, root: str, stage: str, out_path: str, n_partitions: int
-) -> None:
-    """Per-partition lineage rows (FIXTURES.md §4 / north_rule
-    'per-partition lineage + metrics'): one row per p_hash bucket with
-    its row count — derived from parquet footer statistics of the
-    just-written stage table, entirely JVM-side (no driver collect)."""
+def _bucket_counts(spark: SparkSession, out_path: str) -> list[tuple] | None:
+    """Per-p_hash-bucket row counts of a just-written stage table, or
+    None for unbucketed tables.  ONE scan of the p_hash column (row
+    counts ride parquet row-group metadata); the result is at most
+    ``n_buckets`` rows, so collecting it is bounded by configuration,
+    not data."""
     raw = spark.read.parquet(out_path)
     if "p_hash" not in raw.columns:
-        return
-    per_part = raw.groupBy("p_hash").count().select(
-        F.lit(stage).alias("stage"),
-        F.col("p_hash").cast("int").alias("partition_id"),
-        F.lit(-1).cast("bigint").alias("rows_in"),
-        F.col("count").cast("bigint").alias("rows_out"),
-        F.lit(-1).cast("bigint").alias("wall_ms"),
-        F.lit(n_partitions).cast("int").alias("n_partitions"),
-    )
-    per_part.coalesce(1).write.mode("append").parquet(
+        return None
+    return [
+        (int(r["p_hash"]), int(r["count"]))
+        for r in raw.groupBy("p_hash").count().collect()
+    ]
+
+
+def _write_lineage(
+    spark: SparkSession, root: str, entries: list[tuple[dict, list | None]]
+) -> None:
+    """ONE lineage write for the whole run: every stage-level row plus
+    the per-partition rows (FIXTURES.md §4 / north_rule 'per-partition
+    lineage + metrics') in a single appended file.  r3 issued two
+    writes and two full-table scans PER STAGE (a rows_out count, a
+    separate per-partition aggregation, and two one-file appends at
+    ~0.6 s of fixed job cost each) — measurable orchestration tax at
+    bench scale, pure waste at 100 TB.  Crash-safety is preserved by
+    the stage markers, which now carry the same rows (rows_out, wall,
+    bucket counts), so a run that dies before this final write loses
+    no information.
+
+    The frame is built from JVM literals, NOT createDataFrame([...]):
+    a Python-list-backed frame spins up a Python worker per default
+    slice just to write a handful of rows (~5 s per append at
+    local[32]).  Row count is bounded: stages · (1 + n_buckets)."""
+    rows = []
+    for row, bucket_counts in entries:
+        rows.append(
+            (
+                row["stage"],
+                -1,
+                row["rows_in"],
+                row["rows_out"],
+                row["wall_ms"],
+                row["n_partitions"],
+            )
+        )
+        rows.extend(
+            (row["stage"], pid, -1, cnt, -1, row["n_partitions"])
+            for pid, cnt in (bucket_counts or [])
+        )
+    lineage = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("stage"),
+                        F.lit(pid).cast("int").alias("partition_id"),
+                        F.lit(rin).cast("bigint").alias("rows_in"),
+                        F.lit(rout).cast("bigint").alias("rows_out"),
+                        F.lit(wall).cast("bigint").alias("wall_ms"),
+                        F.lit(nparts).cast("int").alias("n_partitions"),
+                    )
+                    for s, pid, rin, rout, wall, nparts in rows
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    lineage.coalesce(1).write.mode("append").parquet(
         os.path.join(root, "_lineage")
     )
 
@@ -125,6 +158,7 @@ def run_pipeline(
       entities/      canonical_id → surface_form rows
     """
     lineage: list[dict] = []
+    lineage_entries: list[tuple[dict, list | None]] = []
     run: list[str] = []
     skipped: list[str] = []
 
@@ -136,7 +170,12 @@ def run_pipeline(
         out_df = fn()
         sio.write_table(out_df, out_path, partition_key=partition_key, n_buckets=n_buckets)
         persisted = sio.read_table(spark, out_path)
-        rows_out = persisted.count()
+        # bucketed stage tables: rows_out = sum of the per-bucket
+        # counts (one scan serves both); unbucketed: metadata count
+        buckets = _bucket_counts(spark, out_path)
+        rows_out = (
+            sum(c for _, c in buckets) if buckets is not None else persisted.count()
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         row = {
             "stage": name,
@@ -150,11 +189,17 @@ def run_pipeline(
             "n_partitions": persisted.rdd.getNumPartitions(),
         }
         lineage.append(row)
-        _append_lineage(spark, out_root, row)
-        _append_partition_lineage(
-            spark, out_root, name, out_path, row["n_partitions"]
+        lineage_entries.append((row, buckets))
+        _mark_done(
+            spark,
+            out_root,
+            name,
+            {
+                "rows_out": rows_out,
+                "wall_ms": wall_ms,
+                "bucket_counts": buckets,
+            },
         )
-        _mark_done(spark, out_root, name, {"rows_out": rows_out, "wall_ms": wall_ms})
         run.append(name)
         return persisted
 
@@ -227,15 +272,25 @@ def run_pipeline(
         # as the mention count — n_convs / first-last seen make this
         # the dimension table analytics queries join without going
         # back to the fact table (extracted_at is the source turn ts)
-        mention_counts = (
+        # two plain aggregations instead of count + countDistinct +
+        # min/max in one: mixing distinct and non-distinct aggregates
+        # makes Catalyst Expand every input row 2x through the first
+        # shuffle; pre-grouping on (surface, conv) ships each row once
+        # and n_convs becomes an ordinary count
+        per_conv = (
             triples_a.filter(F.col("pred") == rules.PRED_MENTIONS)
-            .groupBy(F.col("obj").alias("surface_form"))
+            .groupBy(F.col("obj").alias("surface_form"), "conv_id")
             .agg(
-                F.count(F.lit(1)).alias("n_mentions"),
-                F.countDistinct("conv_id").alias("n_convs"),
-                F.min("extracted_at").alias("first_seen"),
-                F.max("extracted_at").alias("last_seen"),
+                F.count(F.lit(1)).alias("n_in_conv"),
+                F.min("extracted_at").alias("mn"),
+                F.max("extracted_at").alias("mx"),
             )
+        )
+        mention_counts = per_conv.groupBy("surface_form").agg(
+            F.sum("n_in_conv").alias("n_mentions"),
+            F.count(F.lit(1)).alias("n_convs"),
+            F.min("mn").alias("first_seen"),
+            F.max("mx").alias("last_seen"),
         )
         from lexicator_spark.operators.link import _block_key
 
@@ -260,6 +315,9 @@ def run_pipeline(
         )
 
     staged("entities", None, stage_entities, entities_path, None)
+
+    if lineage_entries:
+        _write_lineage(spark, out_root, lineage_entries)
 
     return PipelineResult(
         triples_path=triples_path,
