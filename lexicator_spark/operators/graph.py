@@ -3,9 +3,11 @@
 The KG pipeline's output is a graph (entities = nodes, co-mention /
 same_as / canonical_of = edges); these operators answer the standard
 structural questions over it — degree profile, clustering (triangle)
-structure — with 100-TB-shaped plans: everything is joins and
-aggregations on narrow (string, string) edge frames, no driver
-collection, no iteration.
+structure, PageRank centrality — with 100-TB-shaped plans: joins and
+aggregations on narrow (string, string) edge frames.  Nothing
+data-sized ever reaches the driver: the only driver-side values are
+PageRank's per-iteration scalars (dangling mass, max |Δrank|), each a
+single double from a distributed aggregation.
 
 Triangle counting uses the degree-ordered orientation (the classic
 MapReduce formulation: Suri & Vassilvitskii, WWW'11 "Counting
