@@ -179,32 +179,9 @@ def pagerank(
     mass = ranks.agg(dangling_mass.alias("m")).first()["m"]
     base = (1.0 - damping) / n
     for _ in range(iterations):
-        contribs = (
-            directed.join(
-                ranks.filter(F.col("out_w") > 0).select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("out_w")).alias("unit"),
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("unit") * F.col("w")).alias("contrib"))
-        )
-        ranks = (
-            ranks.select("node", "out_w", F.col("rank").alias("prev"))
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(mass / n))
-                ).alias("rank"),
-                "out_w",
-                "prev",
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = _pagerank_step(
+            directed, ranks, base, damping, mass, n
+        ).localCheckpoint(eager=True)
         stats = ranks.agg(
             dangling_mass.alias("m"),
             F.max(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
@@ -213,6 +190,46 @@ def pagerank(
         if tol is not None and stats["delta"] < tol:
             break
     return ranks.select("node", "rank")
+
+
+def _pagerank_step(
+    directed: DataFrame,
+    ranks: DataFrame,
+    base: float,
+    damping: float,
+    mass: float,
+    n: int,
+) -> DataFrame:
+    """One PageRank iteration as a frame: edge join + contribution
+    aggregation + rank update.  Kept as a named seam so the plan shape
+    is testable: the whole step must be two hash exchanges and ZERO
+    broadcast/cartesian nodes (the dangling mass is the ``mass``
+    literal, not a joined one-row frame)."""
+    contribs = (
+        directed.join(
+            ranks.filter(F.col("out_w") > 0).select(
+                F.col("node").alias("src"),
+                (F.col("rank") / F.col("out_w")).alias("unit"),
+            ),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("unit") * F.col("w")).alias("contrib"))
+    )
+    return (
+        ranks.select("node", "out_w", F.col("rank").alias("prev"))
+        .join(contribs, "node", "left")
+        .select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(mass / n))
+            ).alias("rank"),
+            "out_w",
+            "prev",
+        )
+    )
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

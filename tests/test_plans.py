@@ -199,3 +199,45 @@ def test_partition_pruning_on_stage_table(spark, tmp_path):
     pruned = raw.filter(F.col("p_hash") == 3)
     plan = _plan(pruned)
     assert "PartitionFilters" in plan and "p_hash" in plan
+
+
+def test_pack_sequences_window_partitions_by_bucket(spark):
+    """The packing contract query's window must partition on
+    (split, p_bucket), not split alone: the Exchange feeding the
+    Window carries both keys, so sort parallelism = splits × buckets
+    instead of a 2-partition serial sort (the r3 weak-at-scale
+    shape)."""
+    plan = _plan(entrymod.queries()["corpus_pack_sequences"](spark, SF))
+    win_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "hashpartitioning" in l and "split" in l
+    ]
+    assert win_exchanges, plan
+    assert any("p_bucket" in l for l in win_exchanges), win_exchanges
+
+
+def test_pagerank_step_has_no_broadcast_nested_loop(spark):
+    """One PageRank iteration must be plain hash joins + aggregation:
+    the dangling mass enters as a literal, so the r3 one-row
+    crossJoin(broadcast(...)) — a BroadcastNestedLoopJoin + an extra
+    BroadcastExchange every round — must not appear in the step
+    plan."""
+    from lexicator_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "a string, b string"
+    )
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("w")
+    )
+    nodes = directed.select(F.col("src").alias("node")).union(
+        directed.select(F.col("dst").alias("node"))
+    ).distinct()
+    ranks = nodes.select(
+        "node", F.lit(1 / 3).alias("rank"), F.lit(1.0).alias("out_w")
+    )
+    step = G._pagerank_step(directed, ranks, 0.05, 0.85, 0.0, 3)
+    plan = _plan(step)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
