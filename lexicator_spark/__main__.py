@@ -5,7 +5,7 @@
         -m lexicator_spark --input <turns.parquet> --out <root> \
         [--stage all|extract|link|canonicalize|materialize] \
         [--no-resume] [--impl native|pandas] [--synth N] \
-        [--refresh]
+        [--refresh] [--dedup METHOD] [--graph degrees|triangles|pagerank]
 
 Local smoke: ``python -m lexicator_spark --synth 1000 --out /tmp/kg``.
 ``--refresh`` runs the incremental path instead of the full pipeline:
@@ -45,6 +45,22 @@ def main(argv: list[str] | None = None) -> int:
                          "linear-candidate scale path)")
     ap.add_argument("--threshold", type=float, default=0.6,
                     help="Jaccard threshold for --dedup methods")
+    ap.add_argument("--graph", default=None,
+                    choices=["degrees", "triangles", "pagerank"],
+                    help="run graph analytics over a MATERIALIZED kg "
+                         "root (--input = a previous pipeline --out): "
+                         "co-occurrence edges from the mention triples, "
+                         "then the chosen analysis; writes parquet to "
+                         "--out")
+    ap.add_argument("--iterations", type=int, default=10,
+                    help="--graph pagerank iteration cap")
+    ap.add_argument("--tol", type=float, default=None,
+                    help="--graph pagerank convergence stop (max |Δrank|)")
+    ap.add_argument("--max-fanout", type=int, default=None,
+                    help="--graph: exclude conversations mentioning "
+                         "more than this many distinct entities from "
+                         "the co-occurrence self-join (reported in the "
+                         "summary instead of silently dropped)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -52,6 +68,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("one of --input / --synth is required")  # before JVM spin-up
     if args.dedup and not args.input:
         ap.error("--dedup requires --input (a documents parquet)")
+    if args.graph and not args.input:
+        ap.error("--graph requires --input (a materialized kg root)")
 
     from lexicator_spark.session import get_spark
 
@@ -90,6 +108,49 @@ def main(argv: list[str] | None = None) -> int:
                     "docs": n_docs,
                     "clusters": n_keep,
                     "dropped": n_docs - n_keep,
+                    "out": args.out,
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
+    if args.graph:
+        from pyspark.sql import functions as F
+
+        from lexicator_spark import rules
+        from lexicator_spark.operators import graph as G
+        from lexicator_spark.plans.pipeline import triples_of
+
+        mentions = (
+            triples_of(spark, args.input)
+            .filter(F.col("pred") == rules.PRED_MENTIONS)
+            .select("conv_id", F.col("obj").alias("surface"))
+        )
+        n_overflow = 0
+        if args.max_fanout is not None:
+            edges, overflow = G.cooccurrence_edges(
+                mentions, max_nodes_per_group=args.max_fanout
+            )
+            n_overflow = overflow.count()
+        else:
+            edges = G.cooccurrence_edges(mentions)
+        if args.graph == "degrees":
+            result = G.degrees(edges)
+        elif args.graph == "triangles":
+            result = G.triangle_count(edges)
+        else:
+            result = G.pagerank(
+                edges, iterations=args.iterations, tol=args.tol
+            )
+        result.write.mode("overwrite").parquet(args.out)
+        n_rows = spark.read.parquet(args.out).count()
+        print(
+            json.dumps(
+                {
+                    "graph": args.graph,
+                    "rows": n_rows,
+                    "overflow_groups": n_overflow,
                     "out": args.out,
                 }
             )

@@ -185,6 +185,33 @@ def test_cli_dedup_verb(spark, tmp_path):
     assert rows[4].keep  # singleton keeps itself
 
 
+def test_cli_graph_verb(spark, tmp_path):
+    """--graph runs analytics over a previously materialized kg root:
+    build a small KG with --synth, then pagerank its mention
+    co-occurrence graph — ranks sum to 1, parquet written to --out."""
+    import json
+    import subprocess
+    import sys
+
+    kg = str(tmp_path / "kg")
+    out = str(tmp_path / "ranks")
+
+    def cli(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "lexicator_spark", *argv, "--cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        return [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")][-1]
+
+    cli("--synth", "60", "--out", kg)
+    stats = cli("--input", kg, "--out", out,
+                "--graph", "pagerank", "--tol", "1e-9", "--iterations", "50")
+    assert stats["graph"] == "pagerank" and stats["rows"] > 0
+    ranks = spark.read.parquet(out)
+    assert abs(sum(r.rank for r in ranks.collect()) - 1.0) < 1e-9
+
+
 def test_cli_full_run_then_incremental_refresh(tmp_path):
     """CLI driver (SURVEY §2 #13): full run, then --refresh on the same
     out root — extract is served by the partition-level upsert (stage
