@@ -695,13 +695,6 @@ def _kg_extract_mentions(spark, sf):
     )
 
 
-_KG_EXTRACT_SQL = f"""
-SELECT DISTINCT doc_id, t.term
-FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
-WHERE t.term IN ({", ".join(repr(t) for t in KG_TERMS)})
-"""
-
-
 def _kg_mention_spans(spark, sf):
     """Mention spans over documents: (doc_id, term, [start, end)) of
     the term's first occurrence in the lowercased text — the §1.2 span
