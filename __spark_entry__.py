@@ -1028,17 +1028,21 @@ def _kg_degree_distribution(spark, sf):
     mentions = triples.filter(F.col("pred") == rules.PRED_MENTIONS).select(
         "conv_id", F.col("obj").alias("surface")
     )
-    return G.degree_distribution(G.cooccurrence_edges(mentions))
+    return G.degree_distribution(G.cooccurrence_edges(mentions)[0])
 
 
 def _kg_pagerank_top(spark, sf):
-    """Top-10 entities of the co-mention graph by fixed-iteration
-    PageRank (operators/graph.py::pagerank — the engine's second
-    iterative-DataFrame algorithm after the CC fixpoint).  No SQL
-    oracle: standard SQL forbids aggregation in a recursive term, so
-    the iteration isn't expressible as a recursive CTE; exactness vs a
-    pure-Python implementation of the identical update rule (incl.
-    dangling redistribution) is gated in tests/test_graph.py."""
+    """Top-10 entities of the co-mention graph by WEIGHTED PageRank
+    run to CONVERGENCE (operators/graph.py::pagerank with
+    ``tol=1e-8`` early-exit and ``weight_col="n_groups"`` — edge
+    weight = number of conversations the pair co-occurs in), so the
+    driver-visible query exercises the same tol/weighted machinery the
+    pytest twins gate.  No SQL oracle: standard SQL forbids
+    aggregation in a recursive term, so the iteration isn't
+    expressible as a recursive CTE; exactness vs a pure-Python
+    implementation of the identical update rule (incl. dangling
+    redistribution, tol stop, and weights) is gated in
+    tests/test_graph.py."""
     from lexicator_spark import rules
     from lexicator_spark.operators import graph as G
     from lexicator_spark.operators.extract import extract_triples, split_rejects
@@ -1047,7 +1051,8 @@ def _kg_pagerank_top(spark, sf):
     mentions = triples.filter(F.col("pred") == rules.PRED_MENTIONS).select(
         "conv_id", F.col("obj").alias("surface")
     )
-    ranks = G.pagerank(G.cooccurrence_edges(mentions), iterations=10)
+    edges, _overflow = G.cooccurrence_edges(mentions, weighted=True)
+    ranks = G.pagerank(edges, iterations=50, tol=1e-8, weight_col="n_groups")
     return ranks.orderBy(F.col("rank").desc(), "node").limit(10)
 
 
@@ -1064,7 +1069,7 @@ def _kg_triangle_count(spark, sf):
     mentions = triples.filter(F.col("pred") == rules.PRED_MENTIONS).select(
         "conv_id", F.col("obj").alias("surface")
     )
-    return G.triangle_count(G.cooccurrence_edges(mentions))
+    return G.triangle_count(G.cooccurrence_edges(mentions)[0])
 
 
 def _synth_kg_sql() -> dict[str, str]:

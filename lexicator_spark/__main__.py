@@ -127,14 +127,10 @@ def main(argv: list[str] | None = None) -> int:
             .filter(F.col("pred") == rules.PRED_MENTIONS)
             .select("conv_id", F.col("obj").alias("surface"))
         )
-        n_overflow = 0
-        if args.max_fanout is not None:
-            edges, overflow = G.cooccurrence_edges(
-                mentions, max_nodes_per_group=args.max_fanout
-            )
-            n_overflow = overflow.count()
-        else:
-            edges = G.cooccurrence_edges(mentions)
+        edges, overflow = G.cooccurrence_edges(
+            mentions, max_nodes_per_group=args.max_fanout
+        )
+        n_overflow = overflow.count() if args.max_fanout is not None else 0
         if args.graph == "degrees":
             result = G.degrees(edges)
         elif args.graph == "triangles":

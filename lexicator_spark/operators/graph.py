@@ -31,9 +31,14 @@ def cooccurrence_edges(
     by: str = "conv_id",
     node_col: str = "surface",
     max_nodes_per_group: int | None = None,
-):
+    weighted: bool = False,
+) -> tuple[DataFrame, DataFrame]:
     """Undirected co-occurrence edges ``(a, b)`` with ``a < b``: two
     nodes are connected iff they appear in the same ``by`` group.
+    ``weighted=True`` adds ``n_groups`` (distinct groups sharing the
+    pair) for weighted PageRank; same shuffle count either way.
+    Returns the pair ``(edges, overflow)`` — always, so the call shape
+    doesn't depend on an argument value.
 
     One shuffle on ``by``; the within-group self-join is quadratic in
     the group's DISTINCT node count, which for entity mentions per
@@ -42,18 +47,15 @@ def cooccurrence_edges(
 
     ``max_nodes_per_group`` makes that bound ENFORCED rather than
     assumed: groups whose distinct node count exceeds it are excluded
-    from the self-join (capping edge output at
-    ``groups · cap²``) and reported in a second ``(by, n_nodes)``
-    overflow frame instead of being silently dropped — callers decide
-    whether to log, sample, or reprocess them.  With a cap the return
-    value is the pair ``(edges, overflow)``; with ``None`` (default)
-    it stays the single edges frame."""
+    from the self-join (capping edge output at ``groups · cap²``) and
+    reported in the ``(by, n_nodes)`` overflow frame instead of being
+    silently dropped — callers decide whether to log, sample, or
+    reprocess them.  Uncapped (default), ``overflow`` is the same
+    frame filtered to empty — a LocalRelation after constant folding,
+    costing nothing unless evaluated."""
     nodes = mentions.select(by, node_col).distinct()
-    overflow = None
+    counts = nodes.groupBy(by).agg(F.count(F.lit(1)).alias("n_nodes"))
     if max_nodes_per_group is not None:
-        counts = nodes.groupBy(by).agg(
-            F.count(F.lit(1)).alias("n_nodes")
-        )
         overflow = counts.filter(F.col("n_nodes") > max_nodes_per_group).select(
             by, "n_nodes"
         )
@@ -62,16 +64,24 @@ def cooccurrence_edges(
             by,
             "left_semi",
         )
+    else:
+        overflow = counts.filter(F.lit(False)).select(by, "n_nodes")
     x, y = nodes.alias("x"), nodes.alias("y")
-    edges = (
+    pairs = (
         x.join(y, by)
         .filter(F.col(f"x.{node_col}") < F.col(f"y.{node_col}"))
         .select(
             F.col(f"x.{node_col}").alias("a"), F.col(f"y.{node_col}").alias("b")
         )
-        .distinct()
     )
-    return edges if max_nodes_per_group is None else (edges, overflow)
+    if weighted:
+        # weight = number of distinct groups the pair co-occurs in
+        # (``n_groups``) — same single aggregation shuffle as the
+        # distinct, feeds pagerank(weight_col="n_groups") directly
+        edges = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_groups"))
+    else:
+        edges = pairs.distinct()
+    return edges, overflow
 
 
 def degrees(edges: DataFrame) -> DataFrame:

@@ -64,13 +64,44 @@ def _is_done(spark: SparkSession, root: str, stage: str) -> bool:
     return fsutil.exists(spark, _ckpt_path(root, stage))
 
 
+def _read_marker(spark: SparkSession, root: str, stage: str) -> dict:
+    return json.loads(fsutil.read_text(spark, _ckpt_path(root, stage)))
+
+
+def _lineage_flushed_path(root: str) -> str:
+    return os.path.join(root, "_checkpoints", "_lineage_flushed.json")
+
+
+def _lineage_flushed(spark: SparkSession, root: str) -> set[str]:
+    """Stages whose lineage rows have already been appended to
+    ``_lineage``.  Lineage is written once per run (batched), so a run
+    that crashes mid-pipeline leaves completed stages with markers but
+    no lineage rows; on resume those stages are skipped and would be
+    silently absent from ``_lineage`` forever.  This marker lets the
+    resume backfill exactly the missing stages from their marker JSONs
+    without duplicating rows on later no-op resumes."""
+    path = _lineage_flushed_path(root)
+    if not fsutil.exists(spark, path):
+        return set()
+    return set(json.loads(fsutil.read_text(spark, path))["stages"])
+
+
+def _mark_lineage_flushed(spark: SparkSession, root: str, stages: set[str]) -> None:
+    fsutil.write_text(
+        spark, _lineage_flushed_path(root), json.dumps({"stages": sorted(stages)})
+    )
+
+
 def _bucket_counts(spark: SparkSession, out_path: str) -> list[tuple] | None:
     """Per-p_hash-bucket row counts of a just-written stage table, or
     None for unbucketed tables.  ONE scan of the p_hash column (row
     counts ride parquet row-group metadata); the result is at most
     ``n_buckets`` rows, so collecting it is bounded by configuration,
-    not data."""
-    raw = spark.read.parquet(out_path)
+    not data.  Read through ``sio.read_table`` (not bare
+    ``spark.read.parquet``): an all-empty bucketed stage write leaves
+    only the schema sidecar — no parquet footers to infer from — and
+    must yield zero bucket counts, not an inference crash."""
+    raw = sio.read_table(spark, out_path, keep_bucket_col=True)
     if "p_hash" not in raw.columns:
         return None
     return [
@@ -162,9 +193,29 @@ def run_pipeline(
     run: list[str] = []
     skipped: list[str] = []
 
+    flushed = _lineage_flushed(spark, out_root) if resume else set()
+
     def staged(name: str, in_df: DataFrame | None, fn, out_path: str, partition_key):
         if resume and _is_done(spark, out_root, name):
             skipped.append(name)
+            if name not in flushed:
+                # crashed-run backfill: the stage completed (marker
+                # present) but its lineage rows never reached the
+                # batched end-of-run write — reconstruct them from the
+                # marker (rows_out / wall_ms / bucket_counts are all
+                # there; rows_in wasn't recorded → -1)
+                meta = _read_marker(spark, out_root, name)
+                row = {
+                    "stage": name,
+                    "rows_in": -1,
+                    "rows_out": meta["rows_out"],
+                    "wall_ms": meta["wall_ms"],
+                    "n_partitions": -1,
+                }
+                lineage.append(row)
+                lineage_entries.append(
+                    (row, [tuple(bc) for bc in meta["bucket_counts"] or []] or None)
+                )
             return sio.read_table(spark, out_path)
         t0 = time.monotonic()
         out_df = fn()
@@ -318,6 +369,11 @@ def run_pipeline(
 
     if lineage_entries:
         _write_lineage(spark, out_root, lineage_entries)
+        _mark_lineage_flushed(
+            spark,
+            out_root,
+            flushed | {row["stage"] for row, _ in lineage_entries},
+        )
 
     return PipelineResult(
         triples_path=triples_path,

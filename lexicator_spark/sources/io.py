@@ -192,7 +192,9 @@ def upsert_partitions(
     _write_bucket_meta(spark, location, partition_key, n_buckets)
 
 
-def read_table(spark: SparkSession, location: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, location: str, keep_bucket_col: bool = False
+) -> DataFrame:
     if iceberg_available(spark) and not _is_path(location):
         return spark.read.table(location)
     from pyspark.sql import types as T
@@ -220,6 +222,8 @@ def read_table(spark: SparkSession, location: str) -> DataFrame:
         if schema is None or not empty_shaped:
             raise
         df = spark.createDataFrame([], schema)
+    if keep_bucket_col:
+        return df
     return df.drop("p_hash") if "p_hash" in df.columns else df
 
 

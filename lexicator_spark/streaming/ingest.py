@@ -22,22 +22,36 @@ from pyspark.sql import types as T
 from lexicator_spark.operators.extract import extract_triples, split_rejects
 
 _INTERVAL_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
     "second": 1_000_000,
-    "seconds": 1_000_000,
     "minute": 60 * 1_000_000,
-    "minutes": 60 * 1_000_000,
     "hour": 3_600 * 1_000_000,
-    "hours": 3_600 * 1_000_000,
     "day": 86_400 * 1_000_000,
-    "days": 86_400 * 1_000_000,
+    "week": 7 * 86_400 * 1_000_000,
 }
 
 
 def _interval_us(delay: str) -> int:
-    """Parse the simple ``"N units"`` subset of Spark's watermark
-    delay strings (what this module accepts) into microseconds."""
-    n, unit = delay.strip().split()
-    return int(n) * _INTERVAL_UNIT_US[unit.lower()]
+    """Parse the ``"N unit"`` subset of Spark's CalendarInterval
+    watermark-delay strings into microseconds.  Covers every
+    fixed-length unit Spark's ``withWatermark`` accepts (micro/milli/
+    second/minute/hour/day/week, singular or plural); month/year are
+    calendar-dependent and rejected — same as Spark's own watermark
+    validation.  Raises a ``ValueError`` naming the supported forms so
+    a typo fails at operator build time with a self-explanatory
+    message instead of an opaque KeyError deep in the state handler."""
+    parts = delay.strip().split()
+    unit = parts[1].lower().rstrip("s") if len(parts) == 2 else None
+    if unit not in _INTERVAL_UNIT_US or not parts[0].lstrip("-").isdigit():
+        raise ValueError(
+            f"unsupported watermark delay {delay!r}: expected 'N <unit>' with "
+            f"unit in {sorted(_INTERVAL_UNIT_US)} (plural accepted)"
+        )
+    n = int(parts[0])
+    if n < 0:
+        raise ValueError(f"watermark delay must be non-negative, got {delay!r}")
+    return n * _INTERVAL_UNIT_US[unit]
 
 
 TURN_SCHEMA = T.StructType(

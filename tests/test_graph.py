@@ -171,10 +171,16 @@ def test_cooccurrence_edges(spark):
         ],
         "conv_id string, surface string",
     )
-    got = {
-        (r.a, r.b) for r in G.cooccurrence_edges(mentions).collect()
-    }
+    edges, overflow = G.cooccurrence_edges(mentions)
+    got = {(r.a, r.b) for r in edges.collect()}
     assert got == {("x", "y"), ("y", "z")}
+    # uncapped: overflow channel exists (stable call shape) and is empty
+    assert overflow.columns == ["conv_id", "n_nodes"]
+    assert overflow.count() == 0
+    # weighted variant: n_groups = shared-conversation count
+    wedges, _ = G.cooccurrence_edges(mentions, weighted=True)
+    wgot = {(r.a, r.b, r.n_groups) for r in wedges.collect()}
+    assert wgot == {("x", "y", 1), ("y", "z", 1)}
 
 
 def test_cooccurrence_fanout_cap_and_overflow(spark):
@@ -194,5 +200,3 @@ def test_cooccurrence_fanout_cap_and_overflow(spark):
     assert got == {("x", "y"), ("y", "z")}  # no 50·49/2 blowup
     ov = {(r.conv_id, r.n_nodes) for r in overflow.collect()}
     assert ov == {("big", 50)}
-    # uncapped call keeps the single-frame return shape
-    assert len(G.cooccurrence_edges(mentions).columns) == 2

@@ -277,3 +277,49 @@ def test_lineage_written(spark, tmp_path):
         assert parts, f"no per-partition lineage for {stage}"
         assert sum(p.rows_out for p in parts) == stage_total
         assert all(0 <= p.partition_id for p in parts)
+
+
+def test_empty_input_pipeline_completes(spark, tmp_path):
+    """An all-empty corpus must flow through every stage: the bucketed
+    stage writes leave only schema sidecars (zero parquet footers),
+    and lineage/bucket accounting must read that back as zero rows —
+    not crash on schema inference (ADVICE r4: _bucket_counts)."""
+    corpus = synth.make_corpus(n_convs=2, seed=1)
+    df = synth.corpus_df(spark, corpus).filter(F.lit(False))
+    out = str(tmp_path / "kg")
+    res = run_pipeline(spark, df, out, resume=False)
+    assert set(res.stages_run) == {
+        "extract", "link", "canonicalize", "materialize", "entities"
+    }
+    assert triples_of(spark, out).count() == 0
+    lin = spark.read.parquet(os.path.join(out, "_lineage"))
+    assert lin.filter("partition_id = -1").count() == 5
+    assert lin.filter("partition_id = -1 AND rows_out <> 0").count() == 0
+
+
+def test_lineage_backfill_after_crash_before_flush(spark, tmp_path):
+    """Lineage is written once per run; a crash between the last stage
+    marker and that batched write must not lose the stages forever.
+    On resume, skipped-but-unflushed stages are reconstructed from
+    their marker JSONs; later no-op resumes append nothing."""
+    import shutil
+
+    corpus = synth.make_corpus(n_convs=12, seed=9)
+    df = synth.corpus_df(spark, corpus)
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, df, out, resume=False)
+    # simulate the crash window: markers exist, lineage flush didn't
+    shutil.rmtree(os.path.join(out, "_lineage"))
+    os.remove(os.path.join(out, "_checkpoints", "_lineage_flushed.json"))
+
+    res = run_pipeline(spark, df, out, resume=True)
+    assert res.stages_run == [] and len(res.stages_skipped) == 5
+    lin = spark.read.parquet(os.path.join(out, "_lineage"))
+    stages = {r.stage for r in lin.select("stage").distinct().collect()}
+    assert {"extract", "link", "canonicalize", "materialize", "entities"} <= stages
+    # per-bucket rows survive the round-trip through the marker
+    assert lin.filter("stage = 'extract' AND partition_id >= 0").count() > 0
+    n = lin.count()
+
+    run_pipeline(spark, df, out, resume=True)  # no-op resume
+    assert spark.read.parquet(os.path.join(out, "_lineage")).count() == n

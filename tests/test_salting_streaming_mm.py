@@ -478,3 +478,19 @@ def test_media_fake_path_kept_for_unparseable_codecs(spark):
     rows = MM.extract_media_features(media, decode="fake").collect()
     assert len(rows) == 6
     assert all(len(r.features) == MM.FEATURE_DIM for r in rows)
+
+
+def test_watermark_interval_parser_units_and_errors():
+    """_interval_us covers every fixed-length unit Spark's
+    withWatermark accepts and fails loudly (ValueError naming the
+    supported forms) on anything else — ADVICE r4."""
+    from lexicator_spark.streaming.ingest import _interval_us
+
+    assert _interval_us("500 milliseconds") == 500_000
+    assert _interval_us("2 weeks") == 2 * 7 * 86_400 * 1_000_000
+    assert _interval_us("1 second") == _interval_us("1 seconds") == 1_000_000
+    assert _interval_us(" 3 Minutes ") == 180 * 1_000_000
+    assert _interval_us("42 microseconds") == 42
+    for bad in ("10", "5 months", "1 year", "abc seconds", "-1 second", ""):
+        with pytest.raises(ValueError):
+            _interval_us(bad)
