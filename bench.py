@@ -272,9 +272,33 @@ def main() -> None:
         t0 = time.monotonic()
         res = refresh_triples_partitioned(spark, turns_now, raw_path)
         refresh_walls.append(round(time.monotonic() - t0, 3))
-        if refresh_meta is None:
-            refresh_meta = (res.n_changed, res.n_buckets_touched)
+        # keep the LAST run's meta: run 1 bootstraps the frontier from
+        # the triples table, which over-flags conversations whose tail
+        # turns emitted no triples; run 2 reads the persisted frontier
+        # and reflects the true steady-state delta
+        refresh_meta = (res.n_changed, res.n_buckets_touched)
     timings["refresh_1pct"] = min(refresh_walls)
+
+    # sparse delta — the RecentChanges-shaped case the feature exists
+    # for: a handful of changed conversations per refresh tick (~10
+    # convs here) touches only their own p_hash buckets, so rewrite
+    # volume scales with the touched fraction.  The scattered-1% case
+    # above is the degradation bound: 3k conversations hash into all
+    # 64 buckets and the upsert correctly falls back to ~full rewrite
+    # plus delta bookkeeping.  (mods 2/3 at 30000 are disjoint from
+    # the mod-100 ∈ {0,1} slices already refreshed above.)
+    sparse_walls = []
+    sparse_meta = None
+    for mod in (2, 3):
+        extra = last_turns.filter(
+            F.pmod(F.xxhash64("conv_id"), F.lit(30_000)) == mod
+        ).withColumn("turn_idx", F.col("turn_idx") + 1)
+        turns_now = turns_now.unionByName(extra).localCheckpoint(eager=True)
+        t0 = time.monotonic()
+        res = refresh_triples_partitioned(spark, turns_now, raw_path)
+        sparse_walls.append(round(time.monotonic() - t0, 3))
+        sparse_meta = (res.n_changed, res.n_buckets_touched)
+    timings["refresh_sparse"] = min(sparse_walls)
 
     scratch = "/tmp/bench_stage_a_full"
 
@@ -289,6 +313,11 @@ def main() -> None:
     kg["refresh_buckets_touched"] = refresh_meta[1]
     kg["refresh_vs_full_ratio"] = round(
         timings["extract_full_rebuild"] / timings["refresh_1pct"], 2
+    )
+    kg["refresh_sparse_n_changed"] = sparse_meta[0]
+    kg["refresh_sparse_buckets_touched"] = sparse_meta[1]
+    kg["refresh_sparse_vs_full_ratio"] = round(
+        timings["extract_full_rebuild"] / timings["refresh_sparse"], 2
     )
 
     # ── streaming throughput: rows/s through the buffered
@@ -329,9 +358,12 @@ def main() -> None:
 
     def run_stream():
         shutil.rmtree(ckpt, ignore_errors=True)
+        # 6 files/trigger → 3 micro-batches over the 13 files: [6 data],
+        # [5 data + sentinel-1], [sentinel-2] — cross-batch state is
+        # exercised while per-batch state-commit overhead stays small
         stream = (
             spark.readStream.schema(ingest.TURN_SCHEMA)
-            .option("maxFilesPerTrigger", 4)
+            .option("maxFilesPerTrigger", 6)
             .parquet(stream_in)
         )
         q = (

@@ -148,10 +148,12 @@ def refresh_triples_partitioned(
     elif n_buckets is None:
         n_buckets = sio.DEFAULT_BUCKETS
 
-    done = sio.read_table(spark, stage_location)
     floc = _frontier_location(stage_location)
     bootstrap = not fsutil.exists(spark, floc)
     if bootstrap:
+        # one-time full scan: no frontier table yet, derive it from
+        # the triples (steady-state refreshes never touch this path)
+        done = sio.read_table(spark, stage_location)
         frontier = (
             done.filter(F.col("conv_id").isNotNull())
             .groupBy("conv_id")
@@ -185,12 +187,18 @@ def refresh_triples_partitioned(
     n_buckets_touched = len(touched)
     # no forced broadcast hints: `changed` is unbounded (bulk backfill
     # days touch most conversations) — AQE picks broadcast when the
-    # runtime size allows
+    # runtime size allows.
+    # Kept rows are read by filtering on the PARTITION COLUMN itself
+    # (keep_bucket_col=True + isin(touched)), so the parquet source
+    # prunes to the touched bucket directories — re-deriving the hash
+    # from conv_id on a plain read would scan the whole table even for
+    # a one-conversation delta, which at 10^12 turns turns every tiny
+    # refresh into a full-table I/O pass.
     kept_in_touched = (
-        done.filter(F.col("conv_id").isNotNull())
-        .withColumn("p_hash", bucket_of)
-        .join(changed_buckets, "p_hash", "left_semi")
+        sio.read_table(spark, stage_location, keep_bucket_col=True)
+        .filter(F.col("p_hash").isin(touched))
         .drop("p_hash")
+        .filter(F.col("conv_id").isNotNull())
         .join(changed, "conv_id", "left_anti")
     )
     replacement = kept_in_touched.unionByName(
@@ -208,9 +216,11 @@ def refresh_triples_partitioned(
             changed, "conv_id", "left_anti"
         ).unionByName(new_frontier)
     else:
+        # partition-pruned like kept_in_touched: only touched buckets
+        # of the frontier table are read and rewritten
         kept_frontier = (
-            frontier.withColumn("p_hash", bucket_of)
-            .join(changed_buckets, "p_hash", "left_semi")
+            sio.read_table(spark, floc, keep_bucket_col=True)
+            .filter(F.col("p_hash").isin(touched))
             .drop("p_hash")
             .join(changed, "conv_id", "left_anti")
         )

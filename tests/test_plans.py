@@ -199,6 +199,15 @@ def test_partition_pruning_on_stage_table(spark, tmp_path):
     pruned = raw.filter(F.col("p_hash") == 3)
     plan = _plan(pruned)
     assert "PartitionFilters" in plan and "p_hash" in plan
+    # the refresh kept-rows read path: read_table(keep_bucket_col=True)
+    # + isin(touched) must prune to the touched bucket directories —
+    # a refresh that re-derives the hash from conv_id instead would
+    # full-scan the table for a one-conversation delta
+    kept = sio.read_table(spark, loc, keep_bucket_col=True).filter(
+        F.col("p_hash").isin([3, 5])
+    )
+    kplan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [p_hash" in kplan and "IN (3,5)" in kplan
 
 
 def test_pack_sequences_window_partitions_by_bucket(spark):
