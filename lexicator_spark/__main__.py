@@ -6,6 +6,7 @@
         [--stage all|extract|link|canonicalize|materialize] \
         [--no-resume] [--impl native|pandas] [--synth N] \
         [--refresh] [--dedup METHOD] [--graph degrees|triangles|pagerank]
+        [--compact]
 
 Local smoke: ``python -m lexicator_spark --synth 1000 --out /tmp/kg``.
 ``--refresh`` runs the incremental path instead of the full pipeline:
@@ -61,11 +62,18 @@ def main(argv: list[str] | None = None) -> int:
                          "more than this many distinct entities from "
                          "the co-occurrence self-join (reported in the "
                          "summary instead of silently dropped)")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold an epoch-partitioned streaming extract "
+                         "sink (--input) into the bucketed triples_raw "
+                         "table under --out, then drop the folded epoch "
+                         "directories (the rewrite_data_files analog)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     if not args.synth and not args.input:
         ap.error("one of --input / --synth is required")  # before JVM spin-up
+    if args.compact and not args.input:
+        ap.error("--compact requires --input (an epoch-partitioned stream sink)")
     if args.dedup and not args.input:
         ap.error("--dedup requires --input (a documents parquet)")
     if args.graph and not args.input:
@@ -75,6 +83,27 @@ def main(argv: list[str] | None = None) -> int:
 
     master = args.master or (f"local[{args.cpus}]" if args.cpus else None)
     spark = get_spark(master=master, app_name="lexicator_spark_cli")
+
+    if args.compact:
+        import os
+
+        from lexicator_spark.operators.compact import compact_stream_epochs
+
+        res = compact_stream_epochs(
+            spark, args.input, os.path.join(args.out, "triples_raw")
+        )
+        print(
+            json.dumps(
+                {
+                    "compacted_epochs": res.n_epochs,
+                    "rows_merged": res.n_rows,
+                    "buckets_touched": res.n_buckets_touched,
+                    "max_epoch": res.max_epoch,
+                }
+            )
+        )
+        spark.stop()
+        return 0
 
     if args.dedup:
         from pyspark.sql import functions as F
