@@ -300,6 +300,27 @@ def main() -> None:
         sparse_meta = (res.n_changed, res.n_buckets_touched)
     timings["refresh_sparse"] = min(sparse_walls)
 
+    # same sparse shape, feed mode: the changed conv_ids are SUPPLIED
+    # (lexicator's RecentChanges poll names changed pages) so the
+    # snapshot-wide detection aggregate is skipped — at bench scale
+    # the two modes are close, at 29M turns feed mode is the
+    # difference between O(delta) and O(corpus) (BENCH/BASELINE.md)
+    feed_walls = []
+    feed_meta = None
+    for mod in (4, 5):
+        extra = last_turns.filter(
+            F.pmod(F.xxhash64("conv_id"), F.lit(30_000)) == mod
+        ).withColumn("turn_idx", F.col("turn_idx") + 1)
+        feed = extra.select("conv_id").distinct().localCheckpoint(eager=True)
+        turns_now = turns_now.unionByName(extra).localCheckpoint(eager=True)
+        t0 = time.monotonic()
+        res = refresh_triples_partitioned(
+            spark, turns_now, raw_path, change_feed=feed
+        )
+        feed_walls.append(round(time.monotonic() - t0, 3))
+        feed_meta = (res.n_changed, res.n_buckets_touched)
+    timings["refresh_sparse_feed"] = min(feed_walls)
+
     scratch = "/tmp/bench_stage_a_full"
 
     def full_stage_a():
@@ -318,6 +339,10 @@ def main() -> None:
     kg["refresh_sparse_buckets_touched"] = sparse_meta[1]
     kg["refresh_sparse_vs_full_ratio"] = round(
         timings["extract_full_rebuild"] / timings["refresh_sparse"], 2
+    )
+    kg["refresh_sparse_feed_n_changed"] = feed_meta[0]
+    kg["refresh_sparse_feed_vs_full_ratio"] = round(
+        timings["extract_full_rebuild"] / timings["refresh_sparse_feed"], 2
     )
 
     # ── streaming throughput: rows/s through the buffered

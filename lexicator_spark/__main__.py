@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--refresh", action="store_true",
                     help="incremental Stage-A refresh (partition-level "
                          "upsert) + downstream recompute")
+    ap.add_argument("--change-feed", default=None, metavar="PATH",
+                    help="parquet of conv_ids known changed (the "
+                         "RecentChanges feed): --refresh skips the "
+                         "snapshot-wide change detection and touches "
+                         "only the listed conversations' buckets")
     ap.add_argument("--dedup", default=None,
                     choices=["exact", "minhash_star", "minhash", "jaccard",
                              "simhash"],
@@ -202,9 +207,30 @@ def main(argv: list[str] | None = None) -> int:
 
         raw_path = os.path.join(args.out, "triples_raw")
         if fsutil.exists(spark, os.path.join(raw_path, "_schema.json")):
-            res = refresh_triples_partitioned(
-                spark, turns, raw_path, impl=args.impl
+            feed = (
+                spark.read.parquet(args.change_feed)
+                if args.change_feed else None
             )
+            from lexicator_spark.sources import io as sio
+
+            if (
+                feed is not None
+                and not args.synth
+                and sio.read_bucket_meta(spark, args.input) is not None
+            ):
+                # bucketed raw-turns input + feed: the fully
+                # delta-scoped path (prunes the raw read too)
+                from lexicator_spark.operators.incremental import (
+                    refresh_from_feed,
+                )
+
+                res = refresh_from_feed(
+                    spark, args.input, raw_path, feed, impl=args.impl
+                )
+            else:
+                res = refresh_triples_partitioned(
+                    spark, turns, raw_path, impl=args.impl, change_feed=feed
+                )
             if res.n_changed > 0:
                 # downstream stages derive from the refreshed raw
                 # table: drop their checkpoints so run_pipeline

@@ -93,6 +93,111 @@ def refresh_triples(
     return kept.unionByName(_delta_good_triples(turns, changed, impl))
 
 
+def refresh_from_feed(
+    spark: SparkSession,
+    turns_location: str,
+    stage_location: str,
+    change_feed: DataFrame,
+    impl: str = "native",
+    n_buckets: int | None = None,
+) -> "RefreshResult":
+    """Fully delta-scoped refresh: the end-to-end O(delta) ingest shape.
+
+    ``turns_location`` is a BUCKETED raw-turns table (written /
+    upserted via ``sio.write_table`` / ``sio.upsert_partitions`` keyed
+    on conv_id) that already contains the fed conversations' current
+    turns — the production loop is: a batch of new turns arrives with
+    its conv_id list (the RecentChanges poll), the raw table is
+    bucket-upserted with it (O(delta)), then this refresh re-extracts
+    exactly those conversations (O(delta)).  The raw-turns read here
+    partition-prunes to the buckets containing fed conversations —
+    with ``change_feed`` alone (``refresh_triples_partitioned``) the
+    detection is skipped but the re-extraction semi-join still scans
+    the whole snapshot, which at 29M turns costs ~47 s for a
+    10-conversation delta vs ~14 s via this path (2.9× vs 9.8×
+    against full rebuild; cost here ∝ touched-bucket fraction, so
+    the gap widens with bucket count — BENCH/BASELINE.md).
+
+    The raw table's bucket modulus may differ from the stage's (each
+    side prunes with its own sidecar-recorded modulus).  Requires an
+    existing stage frontier: the one-time bootstrap must see the full
+    corpus, so run one full-corpus refresh (or ``sio.write_table`` +
+    first ``refresh_triples_partitioned``) before switching to the
+    feed loop — raises ValueError otherwise rather than silently
+    leaving unlisted conversations stale."""
+    if not fsutil.exists(spark, _frontier_location(stage_location)):
+        raise ValueError(
+            f"stage at {stage_location} has no _frontier yet: run one "
+            "full-corpus refresh_triples_partitioned to bootstrap it "
+            "before feed-scoped refreshes"
+        )
+    t_meta = sio.read_bucket_meta(spark, turns_location)
+    if t_meta is None:
+        raise ValueError(
+            f"turns table at {turns_location} is not bucketed "
+            "(no _buckets.json): feed-scoped pruning needs "
+            "sio.write_table's conv_id bucketing"
+        )
+    changed = change_feed.select("conv_id").distinct().localCheckpoint(eager=True)
+    t_touched = sorted(
+        r.p
+        for r in changed.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(t_meta["n_buckets"]))
+            .cast("int")
+            .alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    turns = (
+        sio.read_table(spark, turns_location, keep_bucket_col=True)
+        .filter(F.col("p_hash").isin(t_touched))
+        .drop("p_hash")
+    )
+    return refresh_triples_partitioned(
+        spark, turns, stage_location, impl=impl, n_buckets=n_buckets,
+        change_feed=changed,
+    )
+
+
+def materialize_frontier(
+    spark: SparkSession,
+    turns: DataFrame,
+    stage_location: str,
+    n_buckets: int | None = None,
+) -> bool:
+    """Write the ``_frontier`` table at initial-build time, from the
+    same turns snapshot the build extracted — so the FIRST refresh is
+    already delta-scoped instead of paying the detection bootstrap.
+
+    Measured cost of not doing this (BENCH/BASELINE.md, 29.3M turns):
+    the bootstrap refresh runs a full triples scan + full-snapshot
+    detection aggregate + complete frontier write — 374.9 s, 2.7× a
+    full rebuild — before the first delta is processed.  This helper
+    is one ``groupBy(conv_id).max(turn_idx)`` aggregate + one bucketed
+    write over data the build just scanned anyway.
+
+    Turns-derived (not triples-derived like the bootstrap fallback),
+    so zero-triple conversations are recorded as processed from day
+    one.  No-op returning False if a ``_frontier`` already exists
+    (refresh maintains it from then on); returns True when written.
+    Bucketing follows the stage table's ``_buckets.json`` so the
+    refresh upserts stay co-partitioned."""
+    floc = _frontier_location(stage_location)
+    if fsutil.exists(spark, floc):
+        return False
+    meta = sio.read_bucket_meta(spark, stage_location)
+    if meta is not None:
+        n_buckets = meta["n_buckets"]
+    elif n_buckets is None:
+        n_buckets = sio.DEFAULT_BUCKETS
+    frontier = turns.groupBy("conv_id").agg(
+        F.max("turn_idx").alias("done_max_idx")
+    )
+    sio.write_table(frontier, floc, partition_key="conv_id", n_buckets=n_buckets)
+    return True
+
+
 def _frontier_location(stage_location: str) -> str:
     # underscore prefix: invisible to Spark's data-file discovery when
     # the stage table itself is read, like _SUCCESS / _schema.json
@@ -111,9 +216,29 @@ def refresh_triples_partitioned(
     stage_location: str,
     impl: str = "native",
     n_buckets: int | None = None,
+    change_feed: DataFrame | None = None,
 ) -> RefreshResult:
     """Idempotent in-place refresh of a persisted Stage-A table: the
     parquet stand-in for Iceberg ``MERGE INTO`` (SURVEY.md §2 #2/#10).
+
+    ``change_feed`` — a DataFrame with a ``conv_id`` column naming the
+    conversations known to have changed — is the RecentChanges analog
+    proper: lexicator polls the wiki's change feed and re-processes
+    exactly the listed pages, it never diffs the whole corpus.  With a
+    feed, the snapshot-wide change *detection* (full ``turns``
+    aggregate joined against the full frontier — O(corpus) shuffle
+    regardless of delta size, measured as the dominant cost of a
+    10-conversation refresh at 29M turns, BENCH/BASELINE.md) is
+    skipped entirely: the refresh reads only the feed, the touched
+    buckets, and one semi-join pass over ``turns`` for re-extraction.
+    Feed rows for conversations that did not actually change are
+    idempotent (their buckets rewrite to identical contents); a
+    changed conversation MISSING from the feed stays stale until a
+    feed mentions it or a detection-mode refresh runs — same contract
+    as polling RecentChanges.  Without a feed (default), changes are
+    detected from the snapshot as below.  The one-time frontier
+    bootstrap always runs in detection mode (it must see the full
+    corpus once).
 
     Only the ``p_hash`` buckets containing a changed conversation are
     rewritten (dynamic partition overwrite via ``sio.upsert_partitions``);
@@ -150,27 +275,34 @@ def refresh_triples_partitioned(
 
     floc = _frontier_location(stage_location)
     bootstrap = not fsutil.exists(spark, floc)
-    if bootstrap:
-        # one-time full scan: no frontier table yet, derive it from
-        # the triples (steady-state refreshes never touch this path)
-        done = sio.read_table(spark, stage_location)
-        frontier = (
-            done.filter(F.col("conv_id").isNotNull())
-            .groupBy("conv_id")
-            .agg(F.max("turn_idx").alias("done_max_idx"))
+    if change_feed is not None and not bootstrap:
+        # RecentChanges proper: the feed IS the changed set — no
+        # snapshot-wide detection aggregate, no full frontier read
+        changed = (
+            change_feed.select("conv_id").distinct().localCheckpoint(eager=True)
         )
     else:
-        frontier = sio.read_table(spark, floc)
-    latest = turns.groupBy("conv_id").agg(F.max("turn_idx").alias("max_idx"))
-    changed = (
-        latest.join(frontier, "conv_id", "left")
-        .filter(
-            F.col("done_max_idx").isNull()
-            | (F.col("max_idx") > F.col("done_max_idx"))
+        if bootstrap:
+            # one-time full scan: no frontier table yet, derive it from
+            # the triples (steady-state refreshes never touch this path)
+            done = sio.read_table(spark, stage_location)
+            frontier = (
+                done.filter(F.col("conv_id").isNotNull())
+                .groupBy("conv_id")
+                .agg(F.max("turn_idx").alias("done_max_idx"))
+            )
+        else:
+            frontier = sio.read_table(spark, floc)
+        latest = turns.groupBy("conv_id").agg(F.max("turn_idx").alias("max_idx"))
+        changed = (
+            latest.join(frontier, "conv_id", "left")
+            .filter(
+                F.col("done_max_idx").isNull()
+                | (F.col("max_idx") > F.col("done_max_idx"))
+            )
+            .select("conv_id")
+            .localCheckpoint(eager=True)
         )
-        .select("conv_id")
-        .localCheckpoint(eager=True)
-    )
     n_changed = changed.count()
     if n_changed == 0:
         # true no-op: no stage write, no frontier write, zero files
@@ -207,9 +339,13 @@ def refresh_triples_partitioned(
     # frontier maintenance: first refresh of a pre-frontier table
     # persists the COMPLETE frontier (one-time full write); afterwards
     # it is bucket-upserted exactly like the stage table
+    # delta-scoped by construction (one semi-join pass over `turns`)
+    # so feed mode never aggregates the full snapshot; in detection
+    # mode this equals `latest` restricted to the changed set
     new_frontier = (
-        latest.join(changed, "conv_id", "left_semi")
-        .select("conv_id", F.col("max_idx").alias("done_max_idx"))
+        turns.join(changed, "conv_id", "left_semi")
+        .groupBy("conv_id")
+        .agg(F.max("turn_idx").alias("done_max_idx"))
     )
     if bootstrap:
         frontier_replacement = frontier.join(

@@ -278,6 +278,15 @@ def run_pipeline(
     for cached in stage_a_cache:
         cached.unpersist()
 
+    # build-time frontier: record what this build processed so the
+    # first --refresh is delta-scoped instead of paying the detection
+    # bootstrap (374.9 s vs one aggregate pass at 29.3M turns,
+    # BENCH/BASELINE.md).  No-op when _frontier already exists (a
+    # refreshed table maintains its own).
+    from lexicator_spark.operators.incremental import materialize_frontier
+
+    materialize_frontier(spark, turns, raw_path, n_buckets=n_buckets)
+
     # Stage B — linking
     def stage_b():
         catalog = build_catalog(spark)
