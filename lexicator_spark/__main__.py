@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
                          "RecentChanges feed): --refresh skips the "
                          "snapshot-wide change detection and touches "
                          "only the listed conversations' buckets")
+    ap.add_argument("--backfill", type=int, default=None, metavar="N",
+                    help="build Stage A as N bucket-aligned chunked "
+                         "passes with a progress marker (crash-"
+                         "resumable initial build; re-run the same "
+                         "command to resume at the first unfinished "
+                         "group)")
     ap.add_argument("--dedup", default=None,
                     choices=["exact", "minhash_star", "minhash", "jaccard",
                              "simhash"],
@@ -254,8 +260,17 @@ def main(argv: list[str] | None = None) -> int:
 
     # --stage X runs the pipeline up to and including X (checkpoints
     # make re-running earlier stages free)
+    turns_source = None
+    if args.backfill is not None and args.input and not args.synth:
+        from lexicator_spark.sources import io as sio
+
+        if sio.read_bucket_meta(spark, args.input) is not None:
+            # bucketed raw input: each backfill group's read prunes to
+            # its own raw buckets instead of re-scanning the corpus
+            turns_source = args.input
     res = run_pipeline(
-        spark, turns, args.out, resume=not args.no_resume, impl=args.impl
+        spark, turns, args.out, resume=not args.no_resume, impl=args.impl,
+        backfill_groups=args.backfill, turns_source=turns_source,
     )
     print(
         json.dumps(

@@ -19,6 +19,7 @@ only buckets containing changed conversations.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import NamedTuple
 
@@ -204,6 +205,199 @@ def _frontier_location(stage_location: str) -> str:
     return os.path.join(stage_location, "_frontier")
 
 
+def _backfill_marker(stage_location: str) -> str:
+    return os.path.join(stage_location, "_backfill.json")
+
+
+class BackfillResult(NamedTuple):
+    table: DataFrame  # the stage table after this call
+    n_groups: int
+    groups_run: list[int]  # groups processed by THIS call
+    groups_skipped: list[int]  # groups already done before this call
+    complete: bool  # all groups done after this call
+
+
+def backfill_triples(
+    spark: SparkSession,
+    turns: DataFrame | str,
+    stage_location: str,
+    impl: str = "native",
+    n_buckets: int | None = None,
+    n_groups: int = 8,
+    rejects_location: str | None = None,
+    max_groups_per_call: int | None = None,
+) -> BackfillResult:
+    """Crash-resumable chunked initial build of the Stage-A table —
+    the shape an actual 10^12-turn backfill runs in: never one giant
+    job, but ``n_groups`` bucket-aligned passes, each an idempotent
+    partition upsert, with a ``_backfill.json`` progress marker so a
+    killed run resumes at the first unfinished group (north_rule:
+    "checkpoints per-partition extraction state … so any stage
+    resumes mid-run" — this is the sub-stage granularity; stage-level
+    resume lives in ``plans.pipeline``).
+
+    Groups are defined on the STAGE bucketing (group of a conversation
+    = ``pmod(xxhash64(conv_id), n_buckets) % n_groups``) because each
+    group's upsert must carry COMPLETE replacement content for every
+    stage bucket it touches — bucket-aligned groups touch disjoint
+    stage buckets, so a crashed group re-runs idempotently and never
+    clobbers a finished one.  Each group also upserts its slice of the
+    ``_frontier`` (so the finished table is immediately
+    delta-refreshable) and, when ``rejects_location`` is given, its
+    slice of the error channel (bucketed like the stage table;
+    ``sio.read_table`` reads it back identically to the full-build
+    flat layout).
+
+    ``turns`` as a STRING names a bucketed raw-turns table
+    (``sio.write_table`` layout): when the raw modulus is a multiple
+    of the stage modulus each group's read partition-prunes to its own
+    raw buckets — total backfill I/O stays ~1× the corpus.  A
+    DataFrame input is filtered per group instead (correct, but each
+    pass re-scans the source — fine at test scale, documented as the
+    non-pruned path).  ``max_groups_per_call`` bounds one invocation
+    (operational chunking: run k groups per scheduler tick); the
+    return's ``complete`` says whether the table is finished.
+
+    Measured cost of the whole trade at 29.3M turns (n_groups=8,
+    BENCH/BASELINE.md): ~1.7–2.4× the one-shot build wall, in exchange
+    for losing at most 1/G of the work to a crash.
+
+    While incomplete, the stage table must not be refreshed —
+    ``refresh_triples_partitioned`` raises on an unfinished backfill
+    marker (detection mode would otherwise re-extract every remaining
+    conversation in one unchunked pass, silently defeating this)."""
+    if n_buckets is None:
+        meta = sio.read_bucket_meta(spark, stage_location)
+        n_buckets = meta["n_buckets"] if meta else sio.DEFAULT_BUCKETS
+    mpath = _backfill_marker(stage_location)
+    if fsutil.exists(spark, mpath):
+        marker = json.loads(fsutil.read_text(spark, mpath))
+        if marker["n_buckets"] != n_buckets or marker["n_groups"] != n_groups:
+            raise ValueError(
+                f"backfill at {stage_location} was started with "
+                f"n_buckets={marker['n_buckets']} n_groups="
+                f"{marker['n_groups']}; refusing to resume with "
+                f"n_buckets={n_buckets} n_groups={n_groups}"
+            )
+        done = list(marker["done"])
+    elif fsutil.exists(spark, os.path.join(stage_location, "_schema.json")):
+        raise ValueError(
+            f"stage at {stage_location} already exists and is not a "
+            "backfill in progress: use refresh_triples_partitioned"
+        )
+    else:
+        done = []
+
+    raw_buckets_of: dict[int, list[int]] | None = None
+    if isinstance(turns, str):
+        t_meta = sio.read_bucket_meta(spark, turns)
+        if t_meta is None:
+            raise ValueError(
+                f"turns table at {turns} is not bucketed (no "
+                "_buckets.json): pass a DataFrame for unbucketed input"
+            )
+        raw_n = t_meta["n_buckets"]
+        if raw_n % n_buckets == 0:
+            # raw bucket determines stage bucket (h mod raw_n mod
+            # stage_n == h mod stage_n when stage_n | raw_n) → exact
+            # partition pruning per group
+            raw_buckets_of = {
+                g: [b for b in range(raw_n) if (b % n_buckets) % n_groups == g]
+                for g in range(n_groups)
+            }
+        turns_df = sio.read_table(spark, turns, keep_bucket_col=True)
+    else:
+        turns_df = turns
+
+    from lexicator_spark.operators.extract import split_rejects
+
+    stage_group = (
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+        % F.lit(n_groups)
+    )
+    pending = [g for g in range(n_groups) if g not in done]
+    if max_groups_per_call is not None:
+        pending = pending[:max_groups_per_call]
+    groups_run: list[int] = []
+    for g in pending:
+        if raw_buckets_of is not None:
+            slice_df = turns_df.filter(
+                F.col("p_hash").isin(raw_buckets_of[g])
+            ).drop("p_hash")
+            # bucket pruning is exact here; the group filter below is
+            # defense in depth (and the only filter on the unpruned
+            # paths)
+            slice_df = slice_df.filter(stage_group == g)
+        else:
+            slice_df = turns_df.filter(stage_group == g)
+            if "p_hash" in slice_df.columns:
+                slice_df = slice_df.drop("p_hash")
+        from pyspark import StorageLevel
+
+        # the group's turns feed 2-3 consumers (extraction, the
+        # frontier aggregate, optionally the error channel) — persist
+        # so the raw slice is read once per group, not once per
+        # consumer (wall-neutral on a page-cached local disk, strictly
+        # fewer object-store reads on a real cluster)
+        slice_df = slice_df.persist(StorageLevel.MEMORY_AND_DISK)
+        extracted = extract_triples(slice_df, impl=impl)
+        if rejects_location is not None:
+            # two sinks (good + error channel): evaluate the group's
+            # extraction once, same as run_pipeline's stage_a persist
+            extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+        good, rejects = split_rejects(extracted)
+        # NO touched_buckets on these upserts, deliberately: that
+        # parameter buys became-empty deletion at the price of an
+        # eager checkpoint (full extra materialization) + a distinct
+        # probe, both of which guard callers whose replacement frame
+        # READS the files being replaced (refresh does).  Backfill's
+        # replacement derives from the raw turns only, and extraction
+        # is deterministic, so a crash-rerun of a group rewrites
+        # exactly the same buckets with the same content — dynamic
+        # overwrite alone is sound, at one evaluation per sink
+        # (measured 11% of the total backfill wall at 29.3M turns,
+        # BENCH/BASELINE.md).  Caveat: rows REMOVED from the raw input
+        # between a crash and its rerun could strand a stale bucket;
+        # route post-crash input changes through
+        # refresh_triples_partitioned, whose frontier records exactly
+        # what each group processed.
+        sio.upsert_partitions(
+            good, stage_location, partition_key="conv_id",
+            n_buckets=n_buckets,
+        )
+        if rejects_location is not None:
+            sio.upsert_partitions(
+                rejects, rejects_location, partition_key="conv_id",
+                n_buckets=n_buckets,
+            )
+            extracted.unpersist()
+        g_frontier = slice_df.groupBy("conv_id").agg(
+            F.max("turn_idx").alias("done_max_idx")
+        )
+        sio.upsert_partitions(
+            g_frontier, _frontier_location(stage_location),
+            partition_key="conv_id", n_buckets=n_buckets,
+        )
+        slice_df.unpersist()
+        done.append(g)
+        groups_run.append(g)
+        # marker AFTER all the group's upserts: a crash inside the
+        # group re-runs it idempotently (same buckets, same content)
+        fsutil.write_text(
+            spark, mpath,
+            json.dumps(
+                {"n_buckets": n_buckets, "n_groups": n_groups, "done": done}
+            ),
+        )
+    return BackfillResult(
+        table=sio.read_table(spark, stage_location),
+        n_groups=n_groups,
+        groups_run=groups_run,
+        groups_skipped=[g for g in done if g not in groups_run],
+        complete=len(done) == n_groups,
+    )
+
+
 class RefreshResult(NamedTuple):
     table: DataFrame  # the refreshed stage table, read back
     n_changed: int  # conversations re-extracted this refresh
@@ -272,6 +466,18 @@ def refresh_triples_partitioned(
         n_buckets = meta["n_buckets"]
     elif n_buckets is None:
         n_buckets = sio.DEFAULT_BUCKETS
+
+    mpath = _backfill_marker(stage_location)
+    if fsutil.exists(spark, mpath):
+        marker = json.loads(fsutil.read_text(spark, mpath))
+        if len(marker["done"]) != marker["n_groups"]:
+            raise ValueError(
+                f"stage at {stage_location} has an unfinished backfill "
+                f"({len(marker['done'])}/{marker['n_groups']} groups): "
+                "finish backfill_triples before refreshing — a "
+                "detection refresh would re-extract every remaining "
+                "conversation in one unchunked pass"
+            )
 
     floc = _frontier_location(stage_location)
     bootstrap = not fsutil.exists(spark, floc)

@@ -174,6 +174,8 @@ def run_pipeline(
     impl: str = "native",
     n_buckets: int = sio.DEFAULT_BUCKETS,
     lineage_input_counts: bool = True,
+    backfill_groups: int | None = None,
+    turns_source: str | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full KG-construction pipeline.
 
@@ -182,6 +184,16 @@ def run_pipeline(
     parquet count from footer metadata (cheap), but a raw CSV/JSON
     turns source would be re-parsed end to end just for the lineage
     row — disable it there.
+
+    ``backfill_groups=N`` builds Stage A via
+    ``incremental.backfill_triples`` — N bucket-aligned chunked
+    passes with a ``_backfill.json`` progress marker, so a killed
+    initial build resumes at the first unfinished group instead of
+    restarting the whole extraction (sub-stage resume; at 10^12 turns
+    Stage A is not one job).  ``turns_source`` names the bucketed
+    raw-turns table ``turns`` was read from, letting each group's
+    read partition-prune to its own raw buckets.  Downstream stages
+    and checkpoints behave identically either way.
 
     Stage tables under ``out_root``:
       triples_raw/   Stage A output (+ rejects/ error channel)
@@ -274,7 +286,46 @@ def run_pipeline(
         sio.write_table(rejects, os.path.join(out_root, "rejects"), partition_key=None)
         return good
 
-    triples_a = staged("extract", turns, stage_a, raw_path, "conv_id")
+    if backfill_groups is not None and not (
+        resume and _is_done(spark, out_root, "extract")
+    ):
+        from lexicator_spark.operators.incremental import backfill_triples
+
+        t0 = time.monotonic()
+        backfill_triples(
+            spark,
+            turns_source if turns_source is not None else turns,
+            raw_path,
+            impl=impl,
+            n_buckets=n_buckets,
+            n_groups=backfill_groups,
+            rejects_location=os.path.join(out_root, "rejects"),
+        )
+        # same bookkeeping as staged(): the stage checkpoint marks the
+        # WHOLE extraction done (group-level progress lives in the
+        # backfill marker); wall_ms spans only this invocation's groups
+        triples_a = sio.read_table(spark, raw_path)
+        buckets = _bucket_counts(spark, raw_path)
+        rows_out = (
+            sum(c for _, c in buckets) if buckets is not None else triples_a.count()
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        row = {
+            "stage": "extract",
+            "rows_in": turns.count() if lineage_input_counts else -1,
+            "rows_out": rows_out,
+            "wall_ms": wall_ms,
+            "n_partitions": triples_a.rdd.getNumPartitions(),
+        }
+        lineage.append(row)
+        lineage_entries.append((row, buckets))
+        _mark_done(
+            spark, out_root, "extract",
+            {"rows_out": rows_out, "wall_ms": wall_ms, "bucket_counts": buckets},
+        )
+        run.append("extract")
+    else:
+        triples_a = staged("extract", turns, stage_a, raw_path, "conv_id")
     for cached in stage_a_cache:
         cached.unpersist()
 

@@ -1,0 +1,162 @@
+"""Crash-resumable chunked backfill (sub-stage resume, north_rule
+"checkpoints per-partition extraction state … resumes mid-run")."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexicator_spark import synth
+from lexicator_spark.operators.extract import extract_triples, split_rejects
+from lexicator_spark.operators.incremental import (
+    backfill_triples,
+    refresh_triples_partitioned,
+)
+from lexicator_spark.sources import io as sio
+
+
+def _tset(df):
+    return {
+        (r.subj, r.pred, r.obj, r.conv_id, r.turn_idx)
+        for r in df.select("subj", "pred", "obj", "conv_id", "turn_idx").collect()
+    }
+
+
+def _mk_turns(spark, n=60, seed=7):
+    return synth.corpus_df(spark, synth.make_corpus(n_convs=n, seed=seed))
+
+
+def test_backfill_equals_full_build(spark, tmp_path):
+    turns = _mk_turns(spark)
+    loc = str(tmp_path / "triples_raw")
+    rej = str(tmp_path / "rejects")
+    res = backfill_triples(
+        spark, turns, loc, n_buckets=8, n_groups=4, rejects_location=rej
+    )
+    assert res.complete and res.groups_run == [0, 1, 2, 3]
+    good, rejects = split_rejects(extract_triples(turns))
+    assert _tset(res.table) == _tset(good)
+    assert _tset(sio.read_table(spark, rej)) == _tset(rejects)
+    # frontier complete → detection refresh on the same snapshot is a
+    # true no-op (the table is immediately delta-refreshable)
+    refreshed = refresh_triples_partitioned(spark, turns, loc)
+    assert (refreshed.n_changed, refreshed.n_buckets_touched) == (0, 0)
+    # marker records completion
+    marker = json.loads((tmp_path / "triples_raw" / "_backfill.json").read_text())
+    assert sorted(marker["done"]) == [0, 1, 2, 3]
+
+
+def test_backfill_chunked_resume_and_refresh_guard(spark, tmp_path):
+    turns = _mk_turns(spark, n=50, seed=11)
+    loc = str(tmp_path / "triples_raw")
+
+    res = backfill_triples(
+        spark, turns, loc, n_buckets=8, n_groups=4, max_groups_per_call=1
+    )
+    assert res.groups_run == [0] and not res.complete
+    # partial table: only group-0 buckets may exist on disk
+    on_disk = {
+        int(d.split("=")[1])
+        for d in os.listdir(loc)
+        if d.startswith("p_hash=")
+    }
+    assert on_disk <= {0, 4}
+    # refreshing an unfinished backfill is refused
+    with pytest.raises(ValueError, match="unfinished backfill"):
+        refresh_triples_partitioned(spark, turns, loc)
+
+    # crash between a group's upserts and its marker write: rewind the
+    # marker by one group and re-run — the group re-upserts
+    # idempotently and the build still converges
+    res = backfill_triples(
+        spark, turns, loc, n_buckets=8, n_groups=4, max_groups_per_call=1
+    )
+    assert res.groups_run == [1]
+    from lexicator_spark.sources import fsutil
+
+    mpath = str(tmp_path / "triples_raw" / "_backfill.json")
+    marker = json.loads(fsutil.read_text(spark, mpath))
+    marker["done"] = [0]
+    # through fsutil (as the operator writes it): plain-Python edits
+    # would break the Hadoop local-FS .crc sidecar
+    fsutil.write_text(spark, mpath, json.dumps(marker))
+
+    res = backfill_triples(spark, turns, loc, n_buckets=8, n_groups=4)
+    assert res.groups_run == [1, 2, 3] and res.groups_skipped == [0]
+    assert res.complete
+    good, _ = split_rejects(extract_triples(turns))
+    assert _tset(res.table) == _tset(good)
+    # completed: a further call is a full no-op
+    res = backfill_triples(spark, turns, loc, n_buckets=8, n_groups=4)
+    assert res.groups_run == [] and res.complete
+
+
+def test_backfill_pruned_from_bucketed_location(spark, tmp_path):
+    turns = _mk_turns(spark, n=50, seed=13)
+    good, _ = split_rejects(extract_triples(turns))
+
+    # raw modulus a multiple of the stage modulus → exact pruning path
+    raw16 = str(tmp_path / "turns16")
+    sio.write_table(turns, raw16, partition_key="conv_id", n_buckets=16)
+    loc = str(tmp_path / "stage_a")
+    res = backfill_triples(spark, raw16, loc, n_buckets=8, n_groups=4)
+    assert res.complete and _tset(res.table) == _tset(good)
+
+    # raw modulus NOT a multiple → correct via the unpruned fallback
+    raw6 = str(tmp_path / "turns6")
+    sio.write_table(turns, raw6, partition_key="conv_id", n_buckets=6)
+    loc_b = str(tmp_path / "stage_b")
+    res = backfill_triples(spark, raw6, loc_b, n_buckets=8, n_groups=4)
+    assert res.complete and _tset(res.table) == _tset(good)
+
+
+def test_backfill_guards(spark, tmp_path):
+    turns = _mk_turns(spark, n=20, seed=17)
+    # existing complete (non-backfill) stage table → refuse
+    loc = str(tmp_path / "existing")
+    sio.write_table(extract_triples(turns), loc, partition_key="conv_id")
+    with pytest.raises(ValueError, match="already exists"):
+        backfill_triples(spark, turns, loc)
+    # resume with different chunking → refuse
+    loc2 = str(tmp_path / "chunked")
+    backfill_triples(
+        spark, turns, loc2, n_buckets=8, n_groups=4, max_groups_per_call=1
+    )
+    with pytest.raises(ValueError, match="refusing to resume"):
+        backfill_triples(spark, turns, loc2, n_buckets=8, n_groups=2)
+    # unbucketed location string → refuse
+    flat = str(tmp_path / "flat")
+    turns.write.parquet(flat)
+    with pytest.raises(ValueError, match="not bucketed"):
+        backfill_triples(spark, flat, str(tmp_path / "stage_c"))
+
+
+def test_cli_backfill_pipeline(tmp_path):
+    """--backfill N: chunked Stage A + normal downstream; re-run
+    resumes to a full no-op."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "kg")
+
+    def run_cli(*extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "lexicator_spark",
+             "--synth", "60", "--out", out, "--cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        return [json.loads(l) for l in r.stdout.splitlines()
+                if l.startswith("{")]
+
+    final = run_cli("--backfill", "4")[-1]
+    assert set(final["stages_run"]) == {
+        "extract", "link", "canonicalize", "materialize", "entities"
+    }
+    assert final["lineage"][0]["stage"] == "extract"
+    assert final["lineage"][0]["rows_out"] > 0
+    final = run_cli("--backfill", "4")[-1]
+    assert final["stages_run"] == []
