@@ -139,7 +139,14 @@ def refresh_from_feed(
             "(no _buckets.json): feed-scoped pruning needs "
             "sio.write_table's conv_id bucketing"
         )
-    changed = change_feed.select("conv_id").distinct().localCheckpoint(eager=True)
+    changed = (
+        change_feed.select("conv_id")
+        # a NULL conv_id names nothing: hashing it yields a NULL
+        # bucket that would poison the pruning lists downstream
+        .filter(F.col("conv_id").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     t_touched = sorted(
         r.p
         for r in changed.select(
@@ -483,9 +490,14 @@ def refresh_triples_partitioned(
     bootstrap = not fsutil.exists(spark, floc)
     if change_feed is not None and not bootstrap:
         # RecentChanges proper: the feed IS the changed set — no
-        # snapshot-wide detection aggregate, no full frontier read
+        # snapshot-wide detection aggregate, no full frontier read.
+        # NULL feed rows name nothing (and would hash to a NULL
+        # bucket, breaking the touched-bucket list): dropped.
         changed = (
-            change_feed.select("conv_id").distinct().localCheckpoint(eager=True)
+            change_feed.select("conv_id")
+            .filter(F.col("conv_id").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
         )
     else:
         if bootstrap:

@@ -409,3 +409,43 @@ def test_build_time_frontier_materialization(spark, tmp_path):
     )
     assert res.n_changed == len(grown)
     assert _tset(res.table) == _tset(extract_triples(v2))
+
+
+def test_change_feed_null_conv_ids_ignored(spark, tmp_path):
+    """NULL conv_id rows in a change feed name nothing: they must be
+    dropped at the boundary, not hashed into a NULL bucket that
+    poisons the touched-bucket pruning lists."""
+    from pyspark.sql import functions as F
+
+    from lexicator_spark.operators.incremental import refresh_from_feed
+
+    corpus = synth.make_corpus(n_convs=30, seed=29, shuffled=False)
+    turns = synth.corpus_df(spark, corpus)
+    conv_ids = sorted({r[0] for r in corpus.rows})
+    loc = str(tmp_path / "triples_raw")
+    sio.write_table(extract_triples(turns), loc, partition_key="conv_id",
+                    n_buckets=8)
+    refresh_triples_partitioned(spark, turns, loc, n_buckets=8)  # bootstrap
+
+    raw = str(tmp_path / "turns_bucketed")
+    grown = conv_ids[:2]
+    delta = (
+        turns.filter(F.col("conv_id").isin(grown))
+        .groupBy("conv_id")
+        .agg(F.max("turn_idx").alias("turn_idx"))
+        .join(turns, ["conv_id", "turn_idx"])
+        .withColumn("turn_idx", F.col("turn_idx") + 1)
+        .select(*turns.columns)
+    )
+    v2 = turns.unionByName(delta)
+    sio.write_table(v2, raw, partition_key="conv_id")
+    feed = spark.createDataFrame(
+        [(grown[0],), (None,), (grown[1],), (None,)], "conv_id string"
+    )
+    # both paths digest the NULLs silently and refresh only the real ids
+    res = refresh_from_feed(spark, raw, loc, feed)
+    assert res.n_changed == 2
+    assert _tset(res.table) == _tset(extract_triples(v2))
+    res = refresh_triples_partitioned(spark, v2, loc, n_buckets=8,
+                                      change_feed=feed)
+    assert res.n_changed == 2  # idempotent re-feed, NULLs still ignored
