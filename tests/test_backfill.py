@@ -160,3 +160,21 @@ def test_cli_backfill_pipeline(tmp_path):
     assert final["lineage"][0]["rows_out"] > 0
     final = run_cli("--backfill", "4")[-1]
     assert final["stages_run"] == []
+
+
+@pytest.mark.parametrize("n_buckets,n_groups", [(8, 8), (4, 7), (8, 3)])
+def test_backfill_group_alignment_boundaries(spark, tmp_path, n_buckets, n_groups):
+    """Group/bucket alignment edges: one bucket per group
+    (n_groups == n_buckets), more groups than buckets (trailing groups
+    own zero buckets and must no-op cleanly), and non-divisible
+    group counts."""
+    turns = _mk_turns(spark, n=40, seed=31)
+    loc = str(tmp_path / f"stage_{n_buckets}_{n_groups}")
+    res = backfill_triples(
+        spark, turns, loc, n_buckets=n_buckets, n_groups=n_groups
+    )
+    assert res.complete
+    good, _ = split_rejects(extract_triples(turns))
+    assert _tset(res.table) == _tset(good)
+    # the finished table is immediately delta-refreshable
+    assert refresh_triples_partitioned(spark, turns, loc).n_changed == 0
