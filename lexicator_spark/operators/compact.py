@@ -34,6 +34,18 @@ between triggers of a continuous one — an epoch directory mid-write
 has no commit protocol on plain parquet.  Under Iceberg the same
 function shape becomes a snapshot-isolated ``rewrite_data_files``
 call and that restriction disappears.
+
+Refresh interplay: compaction moves triples, not ``_frontier`` rows —
+streamed conversations are therefore not yet recorded as processed.
+The first DETECTION-mode refresh after a compaction re-derives those
+of them present in its turns snapshot (idempotent — extraction is
+deterministic, so the rewrite is content-identical) and records them
+in the frontier; conversations absent from the snapshot keep their
+compacted triples untouched, as any refresh leaves unseen
+conversations alone.  Subsequent refreshes are delta-scoped as usual.  A triples-derived frontier
+update here would only shrink that one-time pass, and incorrectly so
+for conversations whose trailing turns produce no triples — hence
+deliberately not done.
 """
 
 from __future__ import annotations

@@ -187,3 +187,64 @@ def test_cli_compact_verb(spark, streamed, tmp_path):
     assert stats["compacted_epochs"] >= 2 and stats["buckets_touched"] > 0
     got = _rows(sio.read_table(spark, os.path.join(root, "triples_raw")))
     assert got == expected
+
+
+def test_compact_then_detection_refresh_converges(spark, tmp_path):
+    """Refresh interplay (compact.py module docstring): compaction
+    moves triples but not _frontier rows, so the first detection
+    refresh after a compaction re-derives the streamed conversations
+    present in its snapshot (content-identical rewrite), records them
+    in the frontier, and the next refresh is a true no-op."""
+    from pyspark.sql import functions as F
+
+    from lexicator_spark.operators.extract import extract_triples, split_rejects
+    from lexicator_spark.operators.incremental import (
+        refresh_triples_partitioned,
+    )
+    from lexicator_spark.plans.pipeline import run_pipeline
+
+    corpus = synth.make_corpus(n_convs=40, seed=37, shuffled=False)
+    turns = synth.corpus_df(spark, corpus)
+    conv_ids = sorted({r[0] for r in corpus.rows})
+    batch_ids = conv_ids[:30]
+    streamed_ids = conv_ids[30:]
+
+    # batch pipeline over the first 30 convs → stage table + frontier
+    out_root = str(tmp_path / "kg")
+    run_pipeline(spark, turns.filter(F.col("conv_id").isin(batch_ids)), out_root)
+    stage = os.path.join(out_root, "triples_raw")
+
+    # stream the remaining 10 convs into an epoch sink, compact into
+    # the SAME stage table
+    in_dir = str(tmp_path / "turns_in")
+    (
+        turns.filter(F.col("conv_id").isin(streamed_ids))
+        .repartition(4)
+        .write.parquet(in_dir)
+    )
+    sink = str(tmp_path / "stream_out")
+    _run_stream(spark, in_dir, sink, str(tmp_path / "ckpt"))
+    res = compact_stream_epochs(spark, sink, stage)
+    assert res.n_epochs >= 1
+
+    good, _ = split_rejects(extract_triples(turns))
+    expected = _rows(good.select("subj", "pred", "obj", "conv_id", "turn_idx"))
+    got = _rows(
+        sio.read_table(spark, stage)
+        .select("subj", "pred", "obj", "conv_id", "turn_idx")
+    )
+    assert got == expected
+
+    # detection refresh over the FULL snapshot: flags exactly the
+    # streamed convs (absent from the frontier), rewrite is
+    # content-identical, frontier now records them
+    ref = refresh_triples_partitioned(spark, turns, stage)
+    assert ref.n_changed == len(streamed_ids)
+    got = _rows(
+        ref.table.select("subj", "pred", "obj", "conv_id", "turn_idx")
+    )
+    assert got == expected
+
+    # self-healed: the next detection refresh is a true no-op
+    ref = refresh_triples_partitioned(spark, turns, stage)
+    assert (ref.n_changed, ref.n_buckets_touched) == (0, 0)
