@@ -273,6 +273,8 @@ def backfill_triples(
     ``refresh_triples_partitioned`` raises on an unfinished backfill
     marker (detection mode would otherwise re-extract every remaining
     conversation in one unchunked pass, silently defeating this)."""
+    if max_groups_per_call is not None and max_groups_per_call < 1:
+        raise ValueError("max_groups_per_call must be >= 1")
     if n_buckets is None:
         meta = sio.read_bucket_meta(spark, stage_location)
         n_buckets = meta["n_buckets"] if meta else sio.DEFAULT_BUCKETS
@@ -294,6 +296,16 @@ def backfill_triples(
         )
     else:
         done = []
+        # marker BEFORE any group work: the first group's upsert
+        # creates the stage sidecars, so a crash inside it would
+        # otherwise leave a state the existing-table guard above
+        # mistakes for a complete foreign table and refuses to resume
+        fsutil.write_text(
+            spark, mpath,
+            json.dumps(
+                {"n_buckets": n_buckets, "n_groups": n_groups, "done": []}
+            ),
+        )
 
     raw_buckets_of: dict[int, list[int]] | None = None
     if isinstance(turns, str):

@@ -178,3 +178,31 @@ def test_backfill_group_alignment_boundaries(spark, tmp_path, n_buckets, n_group
     assert _tset(res.table) == _tset(good)
     # the finished table is immediately delta-refreshable
     assert refresh_triples_partitioned(spark, turns, loc).n_changed == 0
+
+
+def test_backfill_first_group_crash_resumes(spark, tmp_path):
+    """Crash INSIDE the first group (after its upsert created the
+    stage sidecars, before any progress was recorded): the eager
+    marker write makes this state resumable instead of tripping the
+    existing-table guard."""
+    from lexicator_spark.sources import fsutil
+
+    turns = _mk_turns(spark, n=30, seed=43)
+    loc = str(tmp_path / "triples_raw")
+    backfill_triples(spark, turns, loc, n_buckets=8, n_groups=4,
+                     max_groups_per_call=1)
+    # model the worst crash point: sidecars exist, zero recorded
+    # progress — exactly what dying mid-first-group leaves behind
+    mpath = str(tmp_path / "triples_raw" / "_backfill.json")
+    fsutil.write_text(
+        spark, mpath,
+        json.dumps({"n_buckets": 8, "n_groups": 4, "done": []}),
+    )
+    res = backfill_triples(spark, turns, loc, n_buckets=8, n_groups=4)
+    assert res.complete and res.groups_run == [0, 1, 2, 3]
+    good, _ = split_rejects(extract_triples(turns))
+    assert _tset(res.table) == _tset(good)
+    # degenerate chunking argument is rejected up front
+    with pytest.raises(ValueError, match="max_groups_per_call"):
+        backfill_triples(spark, turns, str(tmp_path / "x"),
+                         max_groups_per_call=0)
