@@ -266,8 +266,10 @@ def backfill_triples(
     return's ``complete`` says whether the table is finished.
 
     Measured cost of the whole trade at 29.3M turns (n_groups=8,
-    BENCH/BASELINE.md): ~1.7–2.4× the one-shot build wall, in exchange
-    for losing at most 1/G of the work to a crash.
+    BENCH/BASELINE.md): wall-parity with the one-shot build (112.0 s
+    vs 114.9 s same-run) — sub-stage crash-resumability is free at
+    this scale, after rebalancing each group's pruned read to full
+    parallelism and salting the per-bucket writes.
 
     While incomplete, the stage table must not be refreshed —
     ``refresh_triples_partitioned`` raises on an unfinished backfill
@@ -353,6 +355,13 @@ def backfill_triples(
                 slice_df = slice_df.drop("p_hash")
         from pyspark import StorageLevel
 
+        # REBALANCE before persist: a partition-pruned read inherits
+        # its parallelism from the pruned FILE COUNT (a group's ~P/G
+        # bucket files → that many scan partitions), and the cached
+        # slice keeps that layout — so the regex-heavy extraction ran
+        # ~P/G-way on a full cluster's worth of cores (measured: the
+        # dominant per-group cost at 29.3M turns, BENCH/BASELINE.md).
+        slice_df = slice_df.repartition(spark.sparkContext.defaultParallelism)
         # the group's turns feed 2-3 consumers (extraction, the
         # frontier aggregate, optionally the error channel) — persist
         # so the raw slice is read once per group, not once per
@@ -380,14 +389,25 @@ def backfill_triples(
         # route post-crash input changes through
         # refresh_triples_partitioned, whose frontier records exactly
         # what each group processed.
+        # files_per_bucket: a group touches ~n_buckets/n_groups
+        # buckets; at one file (= one writer task) per bucket the
+        # write serializes on that handful of tasks — spread each
+        # bucket over enough salted files to keep the cores busy
+        # (measured: the extract+write step was the dominant group
+        # cost at 29.3M turns, BENCH/BASELINE.md)
+        g_buckets = sum(1 for b in range(n_buckets) if b % n_groups == g)
+        fpb = max(
+            1,
+            min(8, spark.sparkContext.defaultParallelism // max(1, g_buckets)),
+        )
         sio.upsert_partitions(
             good, stage_location, partition_key="conv_id",
-            n_buckets=n_buckets,
+            n_buckets=n_buckets, files_per_bucket=fpb,
         )
         if rejects_location is not None:
             sio.upsert_partitions(
                 rejects, rejects_location, partition_key="conv_id",
-                n_buckets=n_buckets,
+                n_buckets=n_buckets, files_per_bucket=fpb,
             )
             extracted.unpersist()
         g_frontier = slice_df.groupBy("conv_id").agg(
@@ -600,9 +620,19 @@ def refresh_triples_partitioned(
     replacement = replacement.localCheckpoint(eager=True)
     frontier_replacement = frontier_replacement.localCheckpoint(eager=True)
 
+    # a sparse delta touches few buckets: spread each touched bucket's
+    # rewrite over salted files so it isn't one writer task per bucket
+    # (see sio._cluster_for_write; content-deterministic)
+    fpb = max(
+        1,
+        min(
+            8,
+            spark.sparkContext.defaultParallelism // max(1, n_buckets_touched),
+        ),
+    )
     sio.upsert_partitions(
         replacement, stage_location, partition_key="conv_id",
-        n_buckets=n_buckets, touched_buckets=touched,
+        n_buckets=n_buckets, touched_buckets=touched, files_per_bucket=fpb,
     )
     if bootstrap:
         sio.write_table(

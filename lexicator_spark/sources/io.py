@@ -62,6 +62,48 @@ def _is_path(location: str) -> bool:
     )
 
 
+def _cluster_for_write(
+    df: DataFrame,
+    partition_key: str,
+    files_per_bucket: int,
+    n_write_buckets: int = DEFAULT_BUCKETS,
+):
+    """Cluster rows by bucket before a partitioned write.
+
+    ``files_per_bucket=1`` (default everywhere) gives each ``p_hash``
+    dir exactly ONE file — the small-file discipline object-store
+    listings need.  But one file per bucket also means one WRITER TASK
+    per distinct bucket: a write that touches few buckets (a backfill
+    group, a sparse refresh) serializes its write stage on a handful
+    of tasks no matter how many cores exist — marginal at sandbox
+    bucket sizes (~1M rows/task, measured wall-neutral at 29.3M
+    turns), decisive when a bucket is GBs and one writer task means
+    minutes.  A
+    ``files_per_bucket`` of k adds a deterministic intra-bucket salt
+    (``xxhash64(key) % k`` — same row, same file, so rewrites stay
+    byte-stable) letting k tasks share each bucket, at ≤ k files per
+    dir.  Callers that touch few buckets size k ≈ cores/buckets.
+
+    ``n_write_buckets`` (the distinct buckets the frame can contain)
+    pins the salted shuffle's partition count at buckets × k —
+    EXPLICIT, because a column-only ``repartition`` is
+    AQE-coalescible and AQE would merge the salted partitions right
+    back into one per bucket at exactly the small-write sizes the
+    salt exists for."""
+    if files_per_bucket <= 1:
+        return df.repartition(F.col("p_hash"))
+    # hash WITH an extra literal: p_hash is pmod(xxhash64(key), P), so
+    # pmod(xxhash64(key), k) would be fully determined by the bucket
+    # whenever k divides P — the same hash under correlated moduli —
+    # and the "salt" would never split anything
+    salt = F.pmod(
+        F.xxhash64(F.col(partition_key), F.lit(1)), F.lit(files_per_bucket)
+    )
+    return df.repartition(
+        n_write_buckets * files_per_bucket, F.col("p_hash"), salt
+    )
+
+
 def write_table(
     df: DataFrame,
     location: str,
@@ -81,14 +123,13 @@ def write_table(
         return
     if partition_key is not None and partition_key in df.columns:
         df = with_partition_hash(df, partition_key, n_buckets)
-        # cluster rows by bucket before the partitioned write: every
-        # p_hash lands in one task, so each partition dir gets ONE
-        # file instead of (shuffle partitions × buckets) shards —
-        # small-file explosion is the thing that kills object-store
-        # listings at scale
-        df.repartition(F.col("p_hash")).write.mode(mode).partitionBy(
-            "p_hash"
-        ).parquet(location)
+        # one file per p_hash dir (see _cluster_for_write): small-file
+        # explosion is the thing that kills object-store listings at
+        # scale, and a full-table write touches ≥ cores buckets so
+        # write parallelism is not the constraint here
+        _cluster_for_write(df, partition_key, 1, n_buckets).write.mode(
+            mode
+        ).partitionBy("p_hash").parquet(location)
     else:
         df.write.mode(mode).parquet(location)
     # explicit schema sidecar: reads never infer (and an all-empty
@@ -136,6 +177,7 @@ def upsert_partitions(
     partition_key: str = "conv_id",
     n_buckets: int = DEFAULT_BUCKETS,
     touched_buckets: list[int] | None = None,
+    files_per_bucket: int = 1,
 ) -> None:
     """Idempotent partition-level upsert on the parquet backend — the
     stand-in for Iceberg ``MERGE INTO``: dynamic partition overwrite
@@ -179,7 +221,12 @@ def upsert_partitions(
         present = {
             r.p_hash for r in hashed.select("p_hash").distinct().collect()
         }
-    hashed.repartition(F.col("p_hash")).write.mode("overwrite").option(
+    n_write_buckets = (
+        len(touched_buckets) if touched_buckets is not None else n_buckets
+    )
+    _cluster_for_write(
+        hashed, partition_key, files_per_bucket, max(1, n_write_buckets)
+    ).write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("p_hash").parquet(location)
     if touched_buckets is not None:

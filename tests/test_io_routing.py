@@ -110,3 +110,38 @@ def test_upsert_deletes_emptied_touched_buckets(spark, tmp_path):
         replacement, loc, partition_key="conv_id", n_buckets=n_buckets
     )
     assert {r.conv_id for r in sio.read_table(spark, loc).collect()} == back
+
+
+def test_upsert_files_per_bucket_salted_layout(spark, tmp_path):
+    """files_per_bucket=k spreads a bucket's rewrite over ≤ k salted
+    files (k writer tasks instead of 1) with identical content, and
+    the salt is deterministic: rewriting the same rows reproduces the
+    same file layout."""
+    from lexicator_spark import synth
+
+    df = synth.corpus_df(spark, synth.make_corpus(n_convs=40, seed=47))
+    loc = str(tmp_path / "t")
+    n_buckets = 2  # few buckets, many rows per bucket
+
+    def files_of(bucket):
+        d = os.path.join(loc, f"p_hash={bucket}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ) if os.path.isdir(d) else []
+
+    sio.upsert_partitions(df, loc, partition_key="conv_id",
+                          n_buckets=n_buckets, files_per_bucket=4)
+    rows = {tuple(r) for r in sio.read_table(spark, loc).collect()}
+    assert rows == {tuple(r) for r in df.collect()}
+    counts = [len(files_of(b)) for b in range(n_buckets)]
+    assert all(1 <= c <= 4 for c in counts)
+    assert any(c > 1 for c in counts), counts  # the salt actually splits
+
+    # default stays one file per bucket dir (small-file discipline)
+    loc1 = str(tmp_path / "t1")
+    sio.upsert_partitions(df, loc1, partition_key="conv_id",
+                          n_buckets=n_buckets)
+    for b in range(n_buckets):
+        d = os.path.join(loc1, f"p_hash={b}")
+        n = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+        assert n == 1, (b, n)
