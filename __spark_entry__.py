@@ -440,35 +440,35 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
 
-def _set_intersect(spark, sf):
+def _set_ops(spark, sf):
+    """INTERSECT and EXCEPT ALL in one op-tagged driver row (r5 fold
+    of the r4 ``set_intersect`` + ``set_except`` entries — identical
+    inputs and semantics, freeing snapshot budget for the round's new
+    KG queries).  Customers of finished orders ∩ / ∖ customers of
+    urgent orders; both sides filtered so both halves are non-empty at
+    every sf (the r3 all-order-placers form was vacuous)."""
     orders = _t(spark, sf, "orders")
     a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    return a.intersect(b)
+    inter = a.intersect(b).select(F.lit("intersect").alias("op"), "o_custkey")
+    exc = (
+        a.distinct()
+        .exceptAll(b.distinct())
+        .select(F.lit("except_all").alias("op"), "o_custkey")
+    )
+    return inter.unionByName(exc)
 
 
-_SET_INTERSECT_SQL = """
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-"""
-
-
-def _set_except(spark, sf):
-    """Customers of finished orders minus customers of urgent orders —
-    both sides filtered so the difference is non-empty at every sf
-    (the r3 form, customers EXCEPT all order-placers, was 0 rows — a
-    vacuous correctness check)."""
-    orders = _t(spark, sf, "orders")
-    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    return a.distinct().exceptAll(b.distinct())
-
-
-_SET_EXCEPT_SQL = """
-SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-EXCEPT ALL
-SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+_SET_OPS_SQL = """
+SELECT 'intersect' AS op, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'except_all' AS op, o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 """
 
 
@@ -816,6 +816,92 @@ WITH mentions AS (
 SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
 FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id AND a.term < b.term
 GROUP BY 1, 2
+"""
+
+
+def _kg_khop_reachable(spark, sf):
+    """Bounded BFS (operators/graph.py::khop_distances) over the
+    bipartite doc↔term mention graph: minimum hop distance from the
+    lexicographically first mentioned term, cut at 3 hops — "what is
+    within N relations of this entity", the neighborhood query a KG
+    exists to answer.  Node ids are namespaced (``d:<doc_id>`` /
+    ``t:<term>``) so the two vertex families can't collide.  The
+    DuckDB twin is a recursive CTE with a min-per-node finish, so the
+    iterative-join BFS loop is oracle-checked exactly (unlike
+    PageRank, plain BFS has no aggregation inside the recursion and IS
+    recursive-SQL-expressible)."""
+    from lexicator_spark.operators import graph as G
+
+    m = _kg_extract_mentions(spark, sf)
+    edges = m.select(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("a"),
+        F.concat(F.lit("t:"), F.col("term")).alias("b"),
+    )
+    seeds = m.agg(F.concat(F.lit("t:"), F.min("term")).alias("node"))
+    return G.khop_distances(edges, seeds, k=3)
+
+
+_KG_KHOP_SQL = f"""
+WITH RECURSIVE mentions AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+  WHERE t.term IN ({", ".join(repr(t) for t in KG_TERMS)})
+), adj AS (
+  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || term AS dst FROM mentions
+  UNION ALL
+  SELECT 't:' || term, 'd:' || CAST(doc_id AS VARCHAR) FROM mentions
+), bfs AS (
+  SELECT 't:' || (SELECT min(term) FROM mentions) AS node, 0 AS d
+  UNION
+  SELECT a.dst, b.d + 1 FROM bfs b JOIN adj a ON b.node = a.src WHERE b.d < 3
+)
+SELECT node, CAST(min(d) AS INTEGER) AS dist FROM bfs GROUP BY node
+"""
+
+
+def _kg_negative_samples(spark, sf):
+    """Deterministic tail-corruption negative sampling
+    (operators/graph.py::negative_samples) over the documents mention
+    triples — the KG-embedding training-data op: one corrupted
+    ``(subj, pred, neg_obj)`` per positive, ``neg_obj ≠ obj``
+    guaranteed algebraically by the md5-keyed ring walk over the
+    entity vocabulary.  md5 hashes identically in DuckDB, so the
+    whole sampler (vocabulary indexing, hash shift, both joins) has an
+    exact SQL twin — a property no RNG-based sampler can offer."""
+    from lexicator_spark.operators import graph as G
+
+    m = _kg_extract_mentions(spark, sf)
+    triples = m.select(
+        F.col("doc_id").cast("bigint").alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("term").alias("obj"),
+    )
+    return G.negative_samples(triples)
+
+
+_KG_NEGSAMPLES_SQL = f"""
+WITH mentions AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+  WHERE t.term IN ({", ".join(repr(t) for t in KG_TERMS)})
+), trip AS (
+  SELECT CAST(doc_id AS BIGINT) AS subj, 'mentions' AS pred, term AS obj
+  FROM mentions
+), vocab AS (
+  SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS idx
+  FROM (SELECT DISTINCT obj AS entity FROM trip)
+), n AS (
+  SELECT count(*) AS n FROM vocab
+), shifted AS (
+  SELECT t.subj, t.pred, t.obj,
+         (v.idx + 1 +
+          (CAST(concat('0x', substr(md5(CAST(t.subj AS VARCHAR) || '|' ||
+                                        t.pred || '|' || t.obj),
+                       1, 8)) AS BIGINT) % (n.n - 1))) % n.n AS neg_idx
+  FROM trip t JOIN vocab v ON t.obj = v.entity CROSS JOIN n
+)
+SELECT s.subj, s.pred, s.obj, v2.entity AS neg_obj
+FROM shifted s JOIN vocab v2 ON s.neg_idx = v2.idx
 """
 
 
@@ -1792,7 +1878,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry keeps one exact ANN (ann_cosine_top1) + one approximate
     (ann_lsh_top1); text_quality/text_langid/text_token_count(_bpe)/
     doc_fingerprint(_rolling) → text_stats (all columns, one row per
-    doc — strictly stronger than the retired per-lang aggregates)."""
+    doc — strictly stronger than the retired per-lang aggregates).
+    r5 fold: set_intersect + set_except → set_ops (same inputs and
+    semantics, op-tagged rows), freeing budget for the round's new
+    kg_khop_reachable (recursive-CTE-oracled BFS) and
+    kg_negative_samples (md5-ring KG-embedding negative sampler)."""
     return {
         # relational core
         "q1_pricing_summary": _q1,
@@ -1810,8 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": _grouping_sets,
         "distinct_agg": _distinct_agg,
         "topk_global": _topk_global,
-        "set_intersect": _set_intersect,
-        "set_except": _set_except,
+        "set_ops": _set_ops,
         "string_funcs": _string_funcs,
         "json_extract": _json_extract,
         "time_bucket_agg": _time_bucket,
@@ -1825,6 +1914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_spans": _kg_mention_spans,
         "kg_span_proximity_pairs": _kg_span_proximity,
         "kg_cooccurrence": _kg_cooccurrence,
+        "kg_khop_reachable": _kg_khop_reachable,
+        "kg_negative_samples": _kg_negative_samples,
         "kg_connected_components": _kg_connected_components,
         "kg_claims_qualifiers": _kg_claims_qualifiers,
         "kg_entity_tool_affinity": _kg_entity_tool_affinity,
@@ -1866,8 +1957,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_grouping_sets": _GROUPING_SETS_SQL,
         "distinct_agg": _DISTINCT_AGG_SQL,
         "topk_global": _TOPK_GLOBAL_SQL,
-        "set_intersect": _SET_INTERSECT_SQL,
-        "set_except": _SET_EXCEPT_SQL,
+        "set_ops": _SET_OPS_SQL,
         "string_funcs": _STRING_FUNCS_SQL,
         "json_extract": _JSON_EXTRACT_SQL,
         "time_bucket_agg": _TIME_BUCKET_SQL,
@@ -1881,6 +1971,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_spans": _KG_MENTION_SPANS_SQL,
         "kg_span_proximity_pairs": _KG_SPAN_PROXIMITY_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
+        "kg_khop_reachable": _KG_KHOP_SQL,
+        "kg_negative_samples": _KG_NEGSAMPLES_SQL,
         "kg_connected_components": _KG_CC_SQL,
         # the three synth-corpus KG queries run over the committed
         # parquet fixture on both engines — extraction, linking, and

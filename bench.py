@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "asof_join_events",
     "kg_mention_spans",
     "kg_span_proximity_pairs",
+    "kg_khop_reachable",
+    "kg_negative_samples",
     "kg_connected_components",
     "dedup_tokenset",
     "dedup_minhash_clusters",

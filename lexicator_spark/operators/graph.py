@@ -107,6 +107,140 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     )
 
 
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    undirected: bool = True,
+) -> DataFrame:
+    """Bounded BFS over an ``(a, b)`` edge frame: minimum hop distance
+    from any seed node, cut off at ``k`` hops → ``(node, dist:int)``
+    (seeds at 0; nodes further than ``k`` or unreachable are absent).
+
+    The third iterative-DataFrame algorithm alongside the CC fixpoint
+    and PageRank, and the query primitive the other two don't give you:
+    "what is within N relations of this entity" is the neighborhood
+    question every KG serves.  Each round is ONE equi-join (frontier ⋈
+    adjacency), ONE distinct, and ONE anti-join against the visited
+    set — all hash exchanges on a single string column, nothing wider
+    than (node, int) ever shuffles, nothing reaches the driver but the
+    per-round empty-frontier probe (a count-limited scalar).  Rounds
+    are bounded by ``k`` (a query parameter, not data), and each round
+    ``localCheckpoint``s exactly like the CC/PageRank loops so lineage
+    never deepens.  BFS min-distance is order-insensitive: whatever
+    partitioning discovers a node first, the anti-join guarantees it
+    is recorded at its first (= minimum) hop count — task retries and
+    AQE re-plans reproduce identical output.
+
+    At 100 TB the frontier join is skew-safe for the same reason the
+    co-occurrence build is: fan-out per frontier node is its degree,
+    and hub-heavy frontiers are exactly what AQE's skew-join split
+    handles; the visited anti-join grows with the REACHED set, not the
+    corpus."""
+    adj = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    if undirected:
+        adj = adj.unionAll(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    visited = (
+        seeds.select("node", F.lit(0).cast("int").alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, k + 1):
+        frontier = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+    return visited
+
+
+def negative_samples(
+    triples: DataFrame,
+    vocab: DataFrame | None = None,
+    n_negatives: int = 1,
+) -> DataFrame:
+    """Deterministic tail-corruption negative sampling for
+    KG-embedding training (the TransE-family recipe: every positive
+    ``(subj, pred, obj)`` yields ``n_negatives`` corrupted
+    ``(subj, pred, neg_obj)`` rows with ``neg_obj ≠ obj`` drawn from
+    the entity vocabulary) → ``(subj, pred, obj, neg_obj)``.
+
+    No RNG: the "random" entity is a content-derived modular shift —
+    ``neg_idx = (idx(obj) + 1 + (h + i) % (n−1)) % n`` where ``h`` is
+    the first 8 hex chars of ``md5(subj|pred|obj)`` as an integer,
+    ``i`` the negative's ordinal, and ``n`` the vocabulary size.  The
+    ``+1 … % (n−1)`` ring walk can never land back on ``idx(obj)``, so
+    the no-collision contract is algebraic, not probabilistic; md5 is
+    engine-portable, so the whole operator has an exact SQL twin, and
+    task retries reproduce identical samples (the property RNG-based
+    samplers lose under speculative execution).
+
+    ``vocab`` is the entity dimension ``(entity, idx)`` with ids dense
+    in ``[0, n)`` — at scale this is the table the pipeline's
+    entities-dim stage already maintains (dictionary-encode ONCE, not
+    per training run).  When omitted it is derived from the distinct
+    objects with a ``row_number`` over a global sort: correct and
+    exactly SQL-twinned, but a single-partition window — fine for a
+    vocabulary (≪ triples by definition), wrong for anything
+    corpus-sized, hence the precomputed-dimension parameter.
+
+    Plan shape: two equi-joins against the vocabulary (obj → idx,
+    neg_idx → entity), both broadcastable when the vocabulary fits and
+    plain shuffle joins when it doesn't; the triple side is touched
+    once.  ``n_negatives`` fans out via an inline ``explode(sequence)``
+    before the second join — output is exactly ``n_negatives × |triples|``
+    rows, linear, no distinct.  The one driver-side value is the
+    vocabulary count (a scalar aggregation over the small side)."""
+    if n_negatives < 1:
+        raise ValueError("n_negatives must be >= 1")
+    if vocab is None:
+        from pyspark.sql import Window
+
+        vocab = (
+            triples.select(F.col("obj").alias("entity"))
+            .distinct()
+            .select(
+                "entity",
+                (F.row_number().over(Window.orderBy("entity")) - 1).alias("idx"),
+            )
+        )
+    n = vocab.count()
+    if n < 2:
+        raise ValueError(f"need >= 2 distinct entities to corrupt, got {n}")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "subj", "pred", "obj")), 1, 8), 16, 10
+    ).cast("bigint")
+    with_idx = triples.join(
+        vocab.select(F.col("entity").alias("obj"), "idx"), "obj"
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_negatives - 1)),
+                lambda i: (
+                    F.col("idx") + 1 + (h + i.cast("bigint")) % (n - 1)
+                )
+                % n,
+            )
+        ).alias("neg_idx"),
+    )
+    return with_idx.join(
+        vocab.select(F.col("idx").alias("neg_idx"), F.col("entity").alias("neg_obj")),
+        "neg_idx",
+    ).select("subj", "pred", "obj", "neg_obj")
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

@@ -200,3 +200,91 @@ def test_cooccurrence_fanout_cap_and_overflow(spark):
     assert got == {("x", "y"), ("y", "z")}  # no 50·49/2 blowup
     ov = {(r.conv_id, r.n_nodes) for r in overflow.collect()}
     assert ov == {("big", 50)}
+
+
+def _py_bfs(pairs, seeds, k):
+    """Reference BFS: min hop distance from any seed, cut at k."""
+    adj: dict[str, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, k + 1):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in dist
+        }
+        for v in frontier:
+            dist[v] = hop
+    return dist
+
+
+def test_khop_known_path_graph(spark):
+    """Chain a-b-c-d-e, seed a: the cut at k is exact, the early exit
+    on an exhausted frontier terminates before k, and an isolated
+    second component is never reached."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    edges = _edges_df(spark, pairs)
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got2 = {(r.node, r.dist) for r in G.khop_distances(edges, seeds, 2).collect()}
+    assert got2 == {("a", 0), ("b", 1), ("c", 2)}
+    # k far beyond the diameter: early exit, component fully covered
+    got9 = {(r.node, r.dist) for r in G.khop_distances(edges, seeds, 9).collect()}
+    assert got9 == {("a", 0), ("b", 1), ("c", 2), ("d", 3), ("e", 4)}
+
+
+def test_khop_matches_bruteforce_on_random_graphs(spark):
+    """Min-distance semantics on arbitrary graphs (multiple shortest
+    paths, cycles, multi-seed) vs the pure-Python BFS."""
+    rng = random.Random(11)
+    for trial in range(3):
+        nodes = [f"n{i:02d}" for i in range(16)]
+        pairs = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(28)}
+        seeds = sorted(rng.sample(nodes, 2))
+        want = _py_bfs(pairs, seeds, 3)
+        seeds_df = spark.createDataFrame([(s,) for s in seeds], "node string")
+        got = {
+            r.node: r.dist
+            for r in G.khop_distances(_edges_df(spark, pairs), seeds_df, 3).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_negative_samples_contract(spark):
+    """Every positive yields exactly n_negatives rows; neg_obj is
+    always a vocabulary entity and never the true obj; output is
+    deterministic across runs (no RNG)."""
+    rows = [
+        (f"c{i}", "mentions", obj)
+        for i, obj in enumerate(["apple", "pear", "plum", "apple", "fig"] * 4)
+    ]
+    triples = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    vocab = {"apple", "pear", "plum", "fig"}
+    for n_neg in (1, 3):
+        out = G.negative_samples(triples, n_negatives=n_neg).collect()
+        assert len(out) == len(rows) * n_neg
+        assert all(r.neg_obj in vocab and r.neg_obj != r.obj for r in out)
+    a = sorted(map(tuple, G.negative_samples(triples).collect()))
+    b = sorted(map(tuple, G.negative_samples(triples).collect()))
+    assert a == b
+
+
+def test_negative_samples_precomputed_vocab_and_guards(spark):
+    """A precomputed (entity, idx) dimension — the at-scale path —
+    must be honored verbatim; degenerate vocabularies are rejected."""
+    import pytest
+
+    triples = spark.createDataFrame(
+        [("s1", "p", "a"), ("s2", "p", "b")],
+        "subj string, pred string, obj string",
+    )
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 2)], "entity string, idx int"
+    )
+    out = G.negative_samples(triples, vocab=vocab).collect()
+    assert all(r.neg_obj in {"a", "b", "c"} and r.neg_obj != r.obj for r in out)
+    with pytest.raises(ValueError):
+        G.negative_samples(triples, n_negatives=0)
+    one = spark.createDataFrame([("s", "p", "a")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError):
+        G.negative_samples(one)
