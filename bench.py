@@ -264,6 +264,39 @@ def main() -> None:
         .drop("rn")
     )
     turns_now = turns_df
+
+    # ── end-to-end incremental refresh (plans/refresh.py): the same
+    # sparse RecentChanges-shaped delta, but EVERY stage table updated
+    # O(delta) — Stage B links only newly-seen surfaces, Stage C
+    # merges/splits only delta-adjacent components, materialize
+    # upserts only touched buckets, entities rebuilds from the
+    # _surface_stats rollup.  Comparator = kg_pipeline_materialized
+    # (the full five-stage rebuild this replaces).  Run FIRST, while
+    # mat_root's downstream stages are still consistent with its raw
+    # table (the stage-A-only refresh loops below leave them stale by
+    # design); min-of-2 over disjoint deltas, so run 1 absorbs the
+    # one-time _surface_stats bootstrap and run 2 is steady state.
+    from lexicator_spark.plans.refresh import refresh_pipeline
+
+    e2e_walls = []
+    e2e_meta = None
+    for mod in (6, 7):
+        extra = last_turns.filter(
+            F.pmod(F.xxhash64("conv_id"), F.lit(30_000)) == mod
+        ).withColumn("turn_idx", F.col("turn_idx") + 1)
+        turns_now = turns_now.unionByName(extra).localCheckpoint(eager=True)
+        t0 = time.monotonic()
+        r = refresh_pipeline(spark, turns_now, mat_root)
+        e2e_walls.append(round(time.monotonic() - t0, 3))
+        e2e_meta = (r.n_changed, r.surfaces_added, r.surfaces_removed)
+    timings["refresh_e2e_sparse"] = min(e2e_walls)
+    kg["refresh_e2e_n_changed"] = e2e_meta[0]
+    kg["refresh_e2e_surfaces_added"] = e2e_meta[1]
+    kg["refresh_e2e_surfaces_removed"] = e2e_meta[2]
+    kg["refresh_e2e_vs_materialized_ratio"] = round(
+        mat_wall / timings["refresh_e2e_sparse"], 2
+    )
+
     refresh_walls = []
     refresh_meta = None
     for mod in (0, 1):

@@ -5,8 +5,8 @@
         -m lexicator_spark --input <turns.parquet> --out <root> \
         [--stage all|extract|link|canonicalize|materialize] \
         [--no-resume] [--impl native|pandas] [--synth N] \
-        [--refresh] [--dedup METHOD] [--graph degrees|triangles|pagerank]
-        [--compact]
+        [--refresh] [--refresh-e2e] [--dedup METHOD] \
+        [--graph degrees|triangles|pagerank] [--compact]
 
 Local smoke: ``python -m lexicator_spark --synth 1000 --out /tmp/kg``.
 ``--refresh`` runs the incremental path instead of the full pipeline:
@@ -36,6 +36,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--refresh", action="store_true",
                     help="incremental Stage-A refresh (partition-level "
                          "upsert) + downstream recompute")
+    ap.add_argument("--refresh-e2e", action="store_true",
+                    help="end-to-end incremental refresh: every stage "
+                         "table updated O(delta) (plans.refresh) — "
+                         "Stage B links only newly-seen surfaces, "
+                         "Stage C merges/splits only delta-adjacent "
+                         "components, materialize upserts only touched "
+                         "buckets; result row-identical to a full "
+                         "rebuild")
     ap.add_argument("--change-feed", default=None, metavar="PATH",
                     help="parquet of conv_ids known changed (the "
                          "RecentChanges feed): --refresh skips the "
@@ -202,6 +210,30 @@ def main(argv: list[str] | None = None) -> int:
         turns = spark.read.parquet(args.input)
 
     from lexicator_spark.plans.pipeline import run_pipeline
+
+    if args.refresh_e2e:
+        from lexicator_spark.plans.refresh import refresh_pipeline
+
+        feed = (
+            spark.read.parquet(args.change_feed) if args.change_feed else None
+        )
+        res = refresh_pipeline(
+            spark, turns, args.out, change_feed=feed, impl=args.impl
+        )
+        print(
+            json.dumps(
+                {
+                    "refreshed_convs": res.n_changed,
+                    "buckets_touched": res.n_buckets_touched,
+                    "surfaces_added": res.surfaces_added,
+                    "surfaces_removed": res.surfaces_removed,
+                    "links_changed": res.links_changed,
+                    "stages_refreshed": res.stages_refreshed,
+                }
+            )
+        )
+        spark.stop()
+        return 0
 
     if args.refresh:
         import os

@@ -441,6 +441,7 @@ class RefreshResult(NamedTuple):
     table: DataFrame  # the refreshed stage table, read back
     n_changed: int  # conversations re-extracted this refresh
     n_buckets_touched: int  # p_hash buckets rewritten
+    touched_buckets: tuple[int, ...] = ()  # the rewritten p_hash ids
 
 
 def refresh_triples_partitioned(
@@ -557,7 +558,7 @@ def refresh_triples_partitioned(
     if n_changed == 0:
         # true no-op: no stage write, no frontier write, zero files
         # touched — callers can skip downstream recomputes entirely
-        return RefreshResult(sio.read_table(spark, stage_location), 0, 0)
+        return RefreshResult(sio.read_table(spark, stage_location), 0, 0, ())
 
     bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
     changed_buckets = changed.select(bucket_of.alias("p_hash")).distinct()
@@ -644,5 +645,8 @@ def refresh_triples_partitioned(
             n_buckets=n_buckets, touched_buckets=touched,
         )
     return RefreshResult(
-        sio.read_table(spark, stage_location), n_changed, n_buckets_touched
+        sio.read_table(spark, stage_location),
+        n_changed,
+        n_buckets_touched,
+        tuple(touched),
     )

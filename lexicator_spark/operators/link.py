@@ -94,8 +94,29 @@ def link_mentions(
     row_number over (surface) ordered by (score desc, canonical_id,
     alias) — fully deterministic tie-breaking.
     """
+    return link_surfaces(
+        mention_surfaces(triples),
+        catalog,
+        threshold=threshold,
+        broadcast_catalog=broadcast_catalog,
+    )
+
+
+def link_surfaces(
+    surfaces: DataFrame,
+    catalog: DataFrame,
+    threshold: float = rules.LINK_SCORE_THRESHOLD,
+    broadcast_catalog: bool = True,
+) -> DataFrame:
+    """Link a pre-computed surface universe — ``surfaces(surface)``,
+    distinct and non-empty (``mention_surfaces``' contract).  Split
+    from :func:`link_mentions` so the incremental refresh
+    (``plans.refresh``) can link ONLY the delta's newly-seen surfaces
+    instead of re-deriving the distinct set from the full triple
+    stream; per-surface output is identical by construction (scoring
+    depends on nothing but the surface and the catalog)."""
     surfaces = (
-        mention_surfaces(triples)
+        surfaces
         .withColumn("block", _block_key(F.col("surface")))
         .withColumn("shingles", _shingles(F.col("surface")))
     )

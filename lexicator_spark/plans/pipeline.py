@@ -365,64 +365,8 @@ def run_pipeline(
         score, the blocking key, and corpus mention counts — the
         flattened analog of the reference's lexeme-entity record
         (SURVEY §1.1: nested claims → triples + entities dimension)."""
-        members = (
-            canonical.select(
-                F.col("obj").alias("canonical_id"), F.col("subj").alias("surface_form")
-            )
-            .union(
-                canonical.select(
-                    F.col("obj").alias("canonical_id"), F.col("obj").alias("surface_form")
-                )
-            )
-            .distinct()
-        )
-        link_scores = same_as.select(
-            F.col("subj").alias("surface_form"), F.col("conf").alias("score")
-        )
-        # per-surface corpus aggregates ride the same single shuffle
-        # as the mention count — n_convs / first-last seen make this
-        # the dimension table analytics queries join without going
-        # back to the fact table (extracted_at is the source turn ts)
-        # two plain aggregations instead of count + countDistinct +
-        # min/max in one: mixing distinct and non-distinct aggregates
-        # makes Catalyst Expand every input row 2x through the first
-        # shuffle; pre-grouping on (surface, conv) ships each row once
-        # and n_convs becomes an ordinary count
-        per_conv = (
-            triples_a.filter(F.col("pred") == rules.PRED_MENTIONS)
-            .groupBy(F.col("obj").alias("surface_form"), "conv_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_in_conv"),
-                F.min("extracted_at").alias("mn"),
-                F.max("extracted_at").alias("mx"),
-            )
-        )
-        mention_counts = per_conv.groupBy("surface_form").agg(
-            F.sum("n_in_conv").alias("n_mentions"),
-            F.count(F.lit(1)).alias("n_convs"),
-            F.min("mn").alias("first_seen"),
-            F.max("mx").alias("last_seen"),
-        )
-        from lexicator_spark.operators.link import _block_key
-
-        return (
-            members.join(link_scores, "surface_form", "left")
-            .join(mention_counts, "surface_form", "left")
-            .select(
-                "canonical_id",
-                "surface_form",
-                _block_key(F.col("surface_form")).alias("block_key"),
-                # canonical members carry score 1.0 by identity
-                F.coalesce(
-                    F.col("score"),
-                    F.when(F.col("surface_form") == F.col("canonical_id"), 1.0),
-                ).alias("score"),
-                F.coalesce(F.col("n_mentions"), F.lit(0)).alias("n_mentions"),
-                F.coalesce(F.col("n_convs"), F.lit(0)).alias("n_convs"),
-                F.col("first_seen"),
-                F.col("last_seen"),
-                (F.col("surface_form") == F.col("canonical_id")).alias("is_canonical"),
-            )
+        return entities_dim(
+            canonical, same_as, mention_counts_of_triples(triples_a)
         )
 
     staged("entities", None, stage_entities, entities_path, None)
@@ -441,6 +385,81 @@ def run_pipeline(
         lineage=lineage,
         stages_run=run,
         stages_skipped=skipped,
+    )
+
+
+def mention_counts_of_triples(triples_a: DataFrame) -> DataFrame:
+    """Per-surface corpus aggregates for the entities dimension —
+    n_convs / first-last seen make it the table analytics queries
+    join without going back to the fact table (extracted_at is the
+    source turn ts).  Two plain aggregations instead of count +
+    countDistinct + min/max in one: mixing distinct and non-distinct
+    aggregates makes Catalyst Expand every input row 2x through the
+    first shuffle; pre-grouping on (surface, conv) ships each row
+    once and n_convs becomes an ordinary count.
+
+    The incremental refresh path (``plans.refresh``) produces the
+    identical frame by rolling up its per-bucket ``_surface_stats``
+    table instead of rescanning the corpus — conversations live in
+    exactly one bucket, so every one of these aggregates sums/mins
+    across buckets."""
+    per_conv = (
+        triples_a.filter(F.col("pred") == rules.PRED_MENTIONS)
+        .groupBy(F.col("obj").alias("surface_form"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_conv"),
+            F.min("extracted_at").alias("mn"),
+            F.max("extracted_at").alias("mx"),
+        )
+    )
+    return per_conv.groupBy("surface_form").agg(
+        F.sum("n_in_conv").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("mn").alias("first_seen"),
+        F.max("mx").alias("last_seen"),
+    )
+
+
+def entities_dim(
+    canonical: DataFrame, same_as: DataFrame, mention_counts: DataFrame
+) -> DataFrame:
+    """The entities-dimension projection, factored out of the stage so
+    the full build and the incremental refresh share one definition
+    (they differ only in where ``mention_counts`` comes from)."""
+    members = (
+        canonical.select(
+            F.col("obj").alias("canonical_id"), F.col("subj").alias("surface_form")
+        )
+        .union(
+            canonical.select(
+                F.col("obj").alias("canonical_id"), F.col("obj").alias("surface_form")
+            )
+        )
+        .distinct()
+    )
+    link_scores = same_as.select(
+        F.col("subj").alias("surface_form"), F.col("conf").alias("score")
+    )
+    from lexicator_spark.operators.link import _block_key
+
+    return (
+        members.join(link_scores, "surface_form", "left")
+        .join(mention_counts, "surface_form", "left")
+        .select(
+            "canonical_id",
+            "surface_form",
+            _block_key(F.col("surface_form")).alias("block_key"),
+            # canonical members carry score 1.0 by identity
+            F.coalesce(
+                F.col("score"),
+                F.when(F.col("surface_form") == F.col("canonical_id"), 1.0),
+            ).alias("score"),
+            F.coalesce(F.col("n_mentions"), F.lit(0)).alias("n_mentions"),
+            F.coalesce(F.col("n_convs"), F.lit(0)).alias("n_convs"),
+            F.col("first_seen"),
+            F.col("last_seen"),
+            (F.col("surface_form") == F.col("canonical_id")).alias("is_canonical"),
+        )
     )
 
 

@@ -174,7 +174,7 @@ def _write_bucket_meta(
 def upsert_partitions(
     df: DataFrame,
     location: str,
-    partition_key: str = "conv_id",
+    partition_key: str | None = "conv_id",
     n_buckets: int = DEFAULT_BUCKETS,
     touched_buckets: list[int] | None = None,
     files_per_bucket: int = 1,
@@ -199,7 +199,13 @@ def upsert_partitions(
 
     Overwrite mode is set per-write (DataFrameWriter option, Spark
     ≥ 2.4) — never on the session conf, which would leak dynamic-
-    overwrite semantics into concurrent writes sharing the session."""
+    overwrite semantics into concurrent writes sharing the session.
+
+    ``partition_key=None`` upserts a table whose ``p_hash`` column is
+    PRECOMPUTED by the caller (e.g. the ``_surface_stats`` sidecar
+    table, whose bucket is the SOURCE conversation's bucket, not a
+    hash of its own key).  ``files_per_bucket`` must stay 1 there —
+    the intra-bucket salt needs a hashable key."""
     spark = df.sparkSession
     meta = read_bucket_meta(spark, location)
     if meta is not None and (
@@ -210,7 +216,19 @@ def upsert_partitions(
             f"{meta['partition_key']}%{meta['n_buckets']} (_buckets.json); "
             f"refusing upsert with {partition_key}%{n_buckets}"
         )
-    hashed = with_partition_hash(df, partition_key, n_buckets)
+    if partition_key is None:
+        if "p_hash" not in df.columns:
+            raise ValueError(
+                "upsert_partitions(partition_key=None) requires a "
+                "precomputed p_hash column"
+            )
+        if files_per_bucket != 1:
+            raise ValueError(
+                "files_per_bucket > 1 needs a partition_key to salt on"
+            )
+        hashed = df
+    else:
+        hashed = with_partition_hash(df, partition_key, n_buckets)
     if touched_buckets is not None:
         # pin ONE evaluation of the replacement frame: `present` and
         # the write below must see identical rows, or a lazily-self-

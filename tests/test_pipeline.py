@@ -256,6 +256,18 @@ def test_cli_full_run_then_incremental_refresh(tmp_path):
     final = msgs[-1]
     assert final["stages_run"] == []
 
+    # --refresh-e2e: grow again — every stage table is updated
+    # O(delta) in one verb (no downstream stage recompute jobs)
+    stats = run_cli(100, "--refresh-e2e")[-1]
+    assert stats["refreshed_convs"] >= 20
+    assert "extract" in stats["stages_refreshed"]
+    assert {"materialize", "entities"} <= set(stats["stages_refreshed"])
+
+    # and the e2e no-op: same corpus → zero stages touched
+    stats = run_cli(100, "--refresh-e2e")[-1]
+    assert stats["refreshed_convs"] == 0
+    assert stats["stages_refreshed"] == []
+
 
 def test_lineage_written(spark, tmp_path):
     corpus = synth.make_corpus(n_convs=10, seed=4)

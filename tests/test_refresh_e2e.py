@@ -1,0 +1,237 @@
+"""End-to-end incremental pipeline refresh (plans/refresh.py).
+
+Contract under test: after ``refresh_pipeline`` applies a turns delta,
+every stage table under the root is ROW-IDENTICAL to a from-scratch
+``run_pipeline`` over the updated corpus — through the added-surface,
+removed-surface, links-unchanged, feed-mode and no-op paths — and the
+stage markers stay coherent (a subsequent resume is a full no-op).
+
+Plus unit coverage for ``update_components``: incremental component
+maintenance equals a full connected-components run, as a partition
+(same co-membership), under random add/remove/mixed edge deltas
+including splits into several parts, multi-component merges, new
+nodes, and nodes whose last edge vanishes.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexicator_spark import synth
+from lexicator_spark.operators.canonicalize import (
+    connected_components,
+    update_components,
+)
+from lexicator_spark.plans.pipeline import run_pipeline
+from lexicator_spark.plans.refresh import refresh_pipeline
+from lexicator_spark.sources import io as sio
+
+
+# ── update_components vs full CC, arbitrary graphs ──────────────────
+
+
+def _edges_df(spark, pairs):
+    if not pairs:
+        return spark.createDataFrame([], "u string, v string")
+    return spark.createDataFrame(sorted(pairs), "u string, v string")
+
+
+def _partition_of(df):
+    """assignments → set of frozensets (co-membership, label-free),
+    asserting each node appears exactly once."""
+    rows = [(r.node, r.comp) for r in df.collect()]
+    nodes = [n for n, _ in rows]
+    assert len(nodes) == len(set(nodes)), "duplicate node assignment"
+    groups: dict[str, set] = {}
+    for n, c in rows:
+        groups.setdefault(c, set()).add(n)
+    return {frozenset(g) for g in groups.values()}
+
+
+def _uf_partition(pairs):
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    groups: dict[str, set] = {}
+    for n in parent:
+        groups.setdefault(find(n), set()).add(n)
+    return {frozenset(g) for g in groups.values()}
+
+
+@pytest.mark.parametrize("seed", [3, 11, 27])
+def test_update_components_matches_full_cc(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    old = set()
+    while len(old) < 40:
+        u, v = rng.sample(nodes, 2)
+        old.add((min(u, v), max(u, v)))
+    old = sorted(old)
+
+    removed = set(rng.sample(old, 12))
+    surviving = [e for e in old if e not in removed]
+    new_nodes = [f"x{i}" for i in range(5)]
+    added = set()
+    while len(added) < 10:
+        u = rng.choice(nodes + new_nodes)
+        v = rng.choice(nodes + new_nodes)
+        if u != v:
+            added.add((min(u, v), max(u, v)))
+    added = sorted(added)
+
+    assignments = connected_components(_edges_df(spark, old))
+
+    # mixed add+remove
+    got = update_components(
+        assignments,
+        added_edges=_edges_df(spark, added),
+        removed_edges=_edges_df(spark, sorted(removed)),
+        surviving_edges=_edges_df(spark, surviving),
+    )
+    assert _partition_of(got) == _uf_partition(surviving + added)
+
+    # add-only (no removal phase at all)
+    got_add = update_components(assignments, added_edges=_edges_df(spark, added))
+    assert _partition_of(got_add) == _uf_partition(old + added)
+
+    # remove-only (empty added set short-circuits phase 2)
+    got_rm = update_components(
+        assignments,
+        added_edges=_edges_df(spark, []),
+        removed_edges=_edges_df(spark, sorted(removed)),
+        surviving_edges=_edges_df(spark, surviving),
+    )
+    assert _partition_of(got_rm) == _uf_partition(surviving)
+
+
+def test_update_components_requires_survivors(spark):
+    a = connected_components(_edges_df(spark, [("a", "b")]))
+    with pytest.raises(ValueError, match="surviving_edges"):
+        update_components(
+            a,
+            added_edges=_edges_df(spark, []),
+            removed_edges=_edges_df(spark, [("a", "b")]),
+        )
+
+
+# ── refresh_pipeline == run_pipeline, stage by stage ─────────────────
+
+# noisy catalog-alias variants with the LAST character substituted:
+# linkable (1 shingle off → Jaccard ≫ 0.5) yet impossible for
+# synth._noisy_variant to also generate (it never touches the last
+# position), so they are unique to the handcrafted conversations.
+LINKED_ADD = "apache iceberx"  # → Q_iceberg
+LINKED_REM = "apache kafkq"  # → Q_kafka
+UNLINKED_ADD = "zzz qq totally new"
+
+
+def _df(spark, rows):
+    return synth.corpus_df(spark, synth.Corpus(rows=list(rows)))
+
+
+def _rows_of(spark, path):
+    df = sio.read_table(spark, path)
+    rows = [tuple(r) for r in df.select(*sorted(df.columns)).collect()]
+    return sorted(rows, key=repr)  # None-safe total order
+
+
+def _assert_stages_equal(spark, root_inc, root_full):
+    for table in ("triples_raw", "same_as", "canonical", "triples", "entities"):
+        inc = _rows_of(spark, f"{root_inc}/{table}")
+        full = _rows_of(spark, f"{root_full}/{table}")
+        assert inc == full, f"stage table {table} diverged"
+
+
+def test_refresh_pipeline_equals_full_rebuild(spark, tmp_path):
+    from datetime import timedelta
+
+    base = synth.make_corpus(n_convs=30, seed=21, shuffled=False).rows
+    t0 = synth.EPOCH + timedelta(days=5)
+
+    def turn(conv, idx, text, secs):
+        return (conv, idx, "user", text, None, t0 + timedelta(seconds=secs))
+
+    v1 = base + [
+        turn("zadd01", 0, "hello there, let us begin", 1),
+        turn("zadd01", 1, "checking [[DuckDB]] results", 2),
+        turn("zrem01", 0, "setup complete", 3),
+        turn("zrem01", 1, f"see [[{LINKED_REM}]] for the queue", 4),
+        turn("zrem01", 2, "done with the queue", 5),
+    ]
+    root_inc = str(tmp_path / "inc")
+    run_pipeline(spark, _df(spark, v1), root_inc)
+
+    # step 1 — links-unchanged delta: a new turn whose only triples
+    # are uses_tool/replies_to (no new mention surfaces): Stage B/C
+    # must be skipped, materialize/entities still refreshed
+    v2 = v1 + [turn("c000003", 200, "just filler words and a plan", 10)]
+    res = refresh_pipeline(spark, _df(spark, v2), root_inc)
+    assert res.n_changed == 1
+    assert not res.links_changed
+    assert res.stages_refreshed == ["extract", "materialize", "entities"]
+    full_a = str(tmp_path / "full_a")
+    run_pipeline(spark, _df(spark, v2), full_a)
+    _assert_stages_equal(spark, root_inc, full_a)
+
+    # step 2 — added surfaces (one linkable, one not): star merge in
+    # Stage C via the component-graph path, detection mode
+    v3 = v2 + [
+        turn("zadd01", 2, f"also [[{LINKED_ADD}]] and [[{UNLINKED_ADD}]]", 20)
+    ]
+    res = refresh_pipeline(spark, _df(spark, v3), root_inc)
+    assert res.links_changed and res.surfaces_added == 2
+    assert res.surfaces_removed == 0
+    assert res.stages_refreshed == [
+        "extract", "link", "canonicalize", "materialize", "entities",
+    ]
+    full_b = str(tmp_path / "full_b")
+    run_pipeline(spark, _df(spark, v3), full_b)
+    _assert_stages_equal(spark, root_inc, full_b)
+
+    # step 3 — removed surface via an in-place text edit (same turn
+    # count → invisible to max-turn_idx detection; the change feed
+    # names the conversation, RecentChanges-style).  The vanished
+    # link splits Q_kafka's star component.
+    v4 = [
+        r if not (r[0] == "zrem01" and r[1] == 1)
+        else ("zrem01", 1, "user", "see the other queue instead", None,
+              t0 + timedelta(seconds=4))
+        for r in v3
+    ]
+    feed = spark.createDataFrame([("zrem01",)], "conv_id string")
+    res = refresh_pipeline(spark, _df(spark, v4), root_inc, change_feed=feed)
+    assert res.links_changed and res.surfaces_removed >= 1
+    full_c = str(tmp_path / "full_c")
+    run_pipeline(spark, _df(spark, v4), full_c)
+    _assert_stages_equal(spark, root_inc, full_c)
+
+    # no-op refresh: nothing changed → nothing rewritten
+    res = refresh_pipeline(spark, _df(spark, v4), root_inc)
+    assert res.n_changed == 0 and res.stages_refreshed == []
+
+    # marker coherence: a resume over the refreshed root re-runs nothing
+    out = run_pipeline(spark, _df(spark, v4), root_inc, resume=True)
+    assert out.stages_run == []
+    assert set(out.stages_skipped) == {
+        "extract", "link", "canonicalize", "materialize", "entities",
+    }
+
+
+def test_refresh_pipeline_requires_complete_build(spark, tmp_path):
+    root = str(tmp_path / "partial")
+    corpus = _df(spark, synth.make_corpus(n_convs=5, seed=3, shuffled=False).rows)
+    with pytest.raises(ValueError, match="complete prior build"):
+        refresh_pipeline(spark, corpus, root)
