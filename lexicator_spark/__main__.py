@@ -270,6 +270,15 @@ def main(argv: list[str] | None = None) -> int:
                     spark, turns, raw_path, impl=args.impl, change_feed=feed
                 )
             if res.n_changed > 0:
+                # keep _surface_stats in step with the raw table (the
+                # downstream recompute below re-syncs link/canonical,
+                # and the stats table must record the universe that
+                # sync saw — plans/refresh.py consistency contract)
+                from lexicator_spark.plans.refresh import (
+                    update_surface_stats,
+                )
+
+                update_surface_stats(spark, args.out, list(res.touched_buckets))
                 # downstream stages derive from the refreshed raw
                 # table: drop their checkpoints so run_pipeline
                 # recomputes them, keep extract's (the refresh IS the

@@ -338,6 +338,15 @@ def run_pipeline(
 
     materialize_frontier(spark, turns, raw_path, n_buckets=n_buckets)
 
+    # likewise materialize the per-bucket surface-universe stats
+    # (_surface_stats) the end-to-end refresh maintains — one
+    # aggregate over the mention triples this build just wrote, so
+    # the first --refresh-e2e never pays a full-table bootstrap and
+    # the table is born consistent with the downstream stages
+    from lexicator_spark.plans.refresh import ensure_surface_stats
+
+    ensure_surface_stats(spark, out_root, n_buckets)
+
     # Stage B — linking
     def stage_b():
         catalog = build_catalog(spark)

@@ -47,7 +47,16 @@ def main() -> None:
     spark = get_spark(
         master="local[32]", app_name="refresh_e2e_scale", shuffle_partitions=64
     )
-    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+    # _SUCCESS alone can't validate a CHUNKED append-mode generation
+    # (every chunk leaves one behind — a killed run looks complete):
+    # sanity-check the row count against the ~3.26 turns/conv the
+    # generator produces and regenerate when truncated.
+    def _complete() -> bool:
+        if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+            return False
+        return spark.read.parquet(CORPUS).count() >= 3 * N_CONVS
+
+    if not _complete():
         shutil.rmtree(CORPUS, ignore_errors=True)
         synth.write_corpus_parquet(spark, CORPUS, n_convs=N_CONVS)
     turns = spark.read.parquet(CORPUS)

@@ -230,6 +230,76 @@ def test_refresh_pipeline_equals_full_rebuild(spark, tmp_path):
     }
 
 
+def test_surface_stats_materialized_at_build(spark, tmp_path):
+    """run_pipeline writes _surface_stats at build time (like the
+    frontier), and its rollup equals the corpus-scan twin the full
+    build's entities stage uses."""
+    import os
+
+    from lexicator_spark.plans.pipeline import mention_counts_of_triples
+    from lexicator_spark.plans.refresh import surface_rollup
+
+    root = str(tmp_path / "kg")
+    corpus = synth.make_corpus(n_convs=25, seed=9, shuffled=False)
+    run_pipeline(spark, _df(spark, corpus.rows), root)
+    assert os.path.exists(f"{root}/_surface_stats/_schema.json")
+
+    raw = sio.read_table(spark, f"{root}/triples_raw")
+    twin = mention_counts_of_triples(raw)
+    rolled = surface_rollup(sio.read_table(spark, f"{root}/_surface_stats"))
+    key = lambda df: sorted(  # noqa: E731
+        (tuple(r) for r in df.select(*sorted(df.columns)).collect()), key=repr
+    )
+    assert key(rolled) == key(twin)
+
+
+def test_mixed_refresh_verbs_stay_consistent(spark, tmp_path):
+    """The CLI --refresh flow (Stage-A upsert + stats update + full
+    downstream recompute) followed by a --refresh-e2e must equal a
+    fresh build: the stats table records the universe the downstream
+    sync saw, whichever verb performed the sync."""
+    import os
+    from datetime import timedelta
+
+    from lexicator_spark.operators.incremental import (
+        refresh_triples_partitioned,
+    )
+    from lexicator_spark.plans.refresh import update_surface_stats
+    from lexicator_spark.sources import fsutil
+
+    t0 = synth.EPOCH + timedelta(days=9)
+
+    def turn(conv, idx, text, secs):
+        return (conv, idx, "user", text, None, t0 + timedelta(seconds=secs))
+
+    v1 = synth.make_corpus(n_convs=20, seed=5, shuffled=False).rows
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, _df(spark, v1), root)
+
+    # verb 1: Stage-A-only refresh + stats update + downstream
+    # recompute (exactly what __main__ --refresh does); the delta
+    # plants a NEW linkable surface, so a stale stats table would
+    # poison the NEXT refresh's universe diff
+    v2 = v1 + [turn("zmix01", 0, f"note [[{LINKED_ADD}]] here", 1)]
+    res = refresh_triples_partitioned(
+        spark, _df(spark, v2), f"{root}/triples_raw"
+    )
+    assert res.n_changed == 1
+    update_surface_stats(spark, root, list(res.touched_buckets))
+    for stage in ("link", "canonicalize", "materialize", "entities"):
+        fsutil.delete(spark, os.path.join(root, "_checkpoints", f"{stage}.json"))
+    run_pipeline(spark, _df(spark, v2), root, resume=True)
+
+    # verb 2: e2e refresh of a second delta — correct only if verb 1
+    # left stats ≡ the universe its downstream recompute saw
+    v3 = v2 + [turn("zmix02", 0, "plain filler, and [[DuckDB]]", 2)]
+    res2 = refresh_pipeline(spark, _df(spark, v3), root)
+    assert res2.n_changed == 1
+    full = str(tmp_path / "full")
+    run_pipeline(spark, _df(spark, v3), full)
+    _assert_stages_equal(spark, root, full)
+
+
 def test_refresh_pipeline_requires_complete_build(spark, tmp_path):
     root = str(tmp_path / "partial")
     corpus = _df(spark, synth.make_corpus(n_convs=5, seed=3, shuffled=False).rows)
