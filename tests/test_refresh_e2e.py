@@ -300,6 +300,50 @@ def test_mixed_refresh_verbs_stay_consistent(spark, tmp_path):
     _assert_stages_equal(spark, root, full)
 
 
+def test_compact_then_e2e_refresh_restores_consistency(spark, tmp_path):
+    """The streaming→serving loop composes with the e2e refresh: new
+    conversations land via the extract stream, compaction folds them
+    into triples_raw (leaving downstream/frontier/stats stale by
+    design), and the next detection-mode refresh_pipeline re-detects
+    them from the frontier and squares every stage table up — equal
+    to a from-scratch build over the full corpus."""
+    from datetime import timedelta
+
+    from lexicator_spark.operators.compact import compact_stream_epochs
+    from lexicator_spark.streaming.ingest import (
+        start_extract_stream,
+        stream_turns,
+    )
+
+    t0 = synth.EPOCH + timedelta(days=11)
+    v1 = synth.make_corpus(n_convs=25, seed=13, shuffled=False).rows
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, _df(spark, v1), root)
+
+    extra = [
+        ("zstr01", 0, "user", f"fresh [[{LINKED_ADD}]] sighting", None,
+         t0 + timedelta(seconds=1)),
+        ("zstr02", 0, "user", "plain follow-up with [[DuckDB]]", None,
+         t0 + timedelta(seconds=2)),
+    ]
+    stream_in = str(tmp_path / "stream_in")
+    _df(spark, extra).repartition(2).write.parquet(stream_in)
+    sink = str(tmp_path / "stream_out")
+    q = start_extract_stream(
+        stream_turns(spark, stream_in), sink, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    res = compact_stream_epochs(spark, sink, f"{root}/triples_raw")
+    assert res.n_rows > 0
+
+    r = refresh_pipeline(spark, _df(spark, v1 + extra), root)
+    assert r.n_changed == 2 and r.surfaces_added >= 1
+
+    full = str(tmp_path / "full")
+    run_pipeline(spark, _df(spark, v1 + extra), full)
+    _assert_stages_equal(spark, root, full)
+
+
 def test_refresh_pipeline_requires_complete_build(spark, tmp_path):
     root = str(tmp_path / "partial")
     corpus = _df(spark, synth.make_corpus(n_convs=5, seed=3, shuffled=False).rows)
