@@ -213,13 +213,26 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.refresh_e2e:
         from lexicator_spark.plans.refresh import refresh_pipeline
+        from lexicator_spark.sources import io as sio
 
         feed = (
             spark.read.parquet(args.change_feed) if args.change_feed else None
         )
-        res = refresh_pipeline(
-            spark, turns, args.out, change_feed=feed, impl=args.impl
-        )
+        if (
+            feed is not None
+            and not args.synth
+            and sio.read_bucket_meta(spark, args.input) is not None
+        ):
+            # bucketed raw-turns input + feed: the fully-pruned path
+            # (raw read prunes to the fed conversations' buckets too)
+            res = refresh_pipeline(
+                spark, None, args.out, change_feed=feed, impl=args.impl,
+                turns_location=args.input,
+            )
+        else:
+            res = refresh_pipeline(
+                spark, turns, args.out, change_feed=feed, impl=args.impl
+            )
         print(
             json.dumps(
                 {

@@ -344,6 +344,63 @@ def test_compact_then_e2e_refresh_restores_consistency(spark, tmp_path):
     _assert_stages_equal(spark, root, full)
 
 
+def test_refresh_pipeline_pruned_feed_path(spark, tmp_path):
+    """turns_location + change_feed: Stage A goes through
+    refresh_from_feed (raw read pruned to the fed conversations'
+    buckets — no snapshot semi-join), and the downstream propagation
+    still leaves every stage equal to a full rebuild."""
+    from datetime import timedelta
+
+    t0 = synth.EPOCH + timedelta(days=13)
+    v1 = synth.make_corpus(n_convs=25, seed=17, shuffled=False).rows
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, _df(spark, v1), root)
+
+    raw_turns = str(tmp_path / "raw_turns")
+    sio.write_table(_df(spark, v1), raw_turns, partition_key="conv_id")
+
+    extra = [
+        ("zprn01", 0, "user", f"pruned-path [[{LINKED_ADD}]]", None,
+         t0 + timedelta(seconds=1)),
+    ]
+    # bucket-upsert the delta into the raw table with complete
+    # replacement content for the touched bucket (upsert contract)
+    extra_df = _df(spark, extra)
+    touched = [
+        r.p
+        for r in extra_df.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(sio.DEFAULT_BUCKETS))
+            .cast("int")
+            .alias("p")
+        ).distinct().collect()
+    ]
+    kept = (
+        sio.read_table(spark, raw_turns, keep_bucket_col=True)
+        .filter(F.col("p_hash").isin(touched))
+        .drop("p_hash")
+    )
+    sio.upsert_partitions(
+        kept.unionByName(extra_df).localCheckpoint(eager=True),
+        raw_turns,
+        partition_key="conv_id",
+        touched_buckets=touched,
+    )
+    feed = spark.createDataFrame([("zprn01",)], "conv_id string")
+    res = refresh_pipeline(
+        spark, None, root, change_feed=feed, turns_location=raw_turns
+    )
+    assert res.n_changed == 1 and res.surfaces_added >= 1
+
+    full = str(tmp_path / "full")
+    run_pipeline(spark, _df(spark, v1 + extra), full)
+    _assert_stages_equal(spark, root, full)
+
+    # pruned path without a feed is an explicit error, not a silent
+    # full-snapshot detection
+    with pytest.raises(ValueError, match="needs change_feed"):
+        refresh_pipeline(spark, None, root, turns_location=raw_turns)
+
+
 def test_refresh_pipeline_requires_complete_build(spark, tmp_path):
     root = str(tmp_path / "partial")
     corpus = _df(spark, synth.make_corpus(n_convs=5, seed=3, shuffled=False).rows)
