@@ -1464,30 +1464,6 @@ FROM documents GROUP BY 1
 _JACCARD_MAX_DOC = 120
 
 
-def _dedup_jaccard(spark, sf):
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _JACCARD_MAX_DOC)
-    return D.ngram_jaccard_pairs(docs, threshold=0.6, max_token_df=10**9)
-
-
-_DEDUP_JACCARD_SQL = f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, t.tok
-  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
-  WHERE doc_id < {_JACCARD_MAX_DOC} AND t.tok <> ''
-), sizes AS (
-  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT c.a, c.b,
-       CAST(c.n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - c.n_common AS DOUBLE) AS jaccard
-FROM common c JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
-WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - c.n_common AS DOUBLE) >= 0.6
-"""
-
-
 def _dedup_cluster_assign(spark, sf):
     """Near-dup CLUSTER ASSIGNMENT over exact-Jaccard verified pairs:
     connected components over the pair graph → (doc_id, cluster_id,
@@ -1717,6 +1693,63 @@ SELECT probe_id, neighbor_id FROM ranked WHERE rn = 1
 """
 
 
+def _decontam(spark, sf):
+    """Benchmark decontamination (operators/decontam.py): flag every
+    training doc sharing at least one 8-token word n-gram with an
+    eval set — the gate a training pipeline runs right before
+    packing.  The eval set is derived deterministically from the
+    corpus itself (every 25th doc contributes tokens 3..14 as a
+    12-token snippet) so both engines build the identical benchmark
+    with no side fixture.  Exactly SQL-expressible; plan shape
+    (benchmark n-gram set broadcast, corpus side shuffles only the
+    collision hits) gated in tests/test_decontam.py."""
+    from lexicator_spark.operators import decontam as DCM
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(toks, 3, 12)).alias("text")
+    )
+    return DCM.decontaminate(docs, bench, n=8).withColumn(
+        "n_doc_ngrams", F.col("n_doc_ngrams").cast("bigint")
+    )
+
+
+_DECONTAM_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), bench AS (
+  SELECT t[3:14] AS bt FROM tok WHERE doc_id % 25 = 0
+), bench_grams AS (
+  SELECT DISTINCT array_to_string(bt[i:i+7], ' ') AS gram
+  FROM bench, unnest(generate_series(1, len(bt) - 7)) AS g(i)
+  WHERE len(bt) >= 8
+), doc_grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM tok, unnest(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8
+), counts AS (
+  SELECT d.doc_id,
+         count(*) AS n_doc_ngrams,
+         count(b.gram) AS n_hits
+  FROM doc_grams d LEFT JOIN bench_grams b ON d.gram = b.gram
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(c.n_doc_ngrams, 0) AS n_doc_ngrams,
+       COALESCE(c.n_hits, 0) AS n_hits,
+       CASE WHEN COALESCE(c.n_doc_ngrams, 0) > 0
+            THEN CAST(c.n_hits AS DOUBLE) / c.n_doc_ngrams
+            ELSE 0.0 END AS contam_frac,
+       COALESCE(c.n_hits, 0) >= 1 AS is_contaminated
+FROM tok t LEFT JOIN counts c ON t.doc_id = c.doc_id
+"""
+
+
 _NEAR_DUP_THRESHOLD = 0.4
 
 
@@ -1881,8 +1914,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc — strictly stronger than the retired per-lang aggregates).
     r5 fold: set_intersect + set_except → set_ops (same inputs and
     semantics, op-tagged rows), freeing budget for the round's new
-    kg_khop_reachable (recursive-CTE-oracled BFS) and
-    kg_negative_samples (md5-ring KG-embedding negative sampler)."""
+    kg_khop_reachable (recursive-CTE-oracled BFS), kg_negative_samples
+    (md5-ring KG-embedding negative sampler), and corpus_decontaminate
+    (broadcast n-gram eval-set collision gate — the one curation stage
+    the registry was missing); dedup_ngram_jaccard → dedup_cluster_assign
+    (the cluster query's oracle chain contains the identical jaccard
+    pair computation verbatim, so the pair form is strictly subsumed;
+    operator-level gates stay in tests/test_dedup_similarity.py)."""
     return {
         # relational core
         "q1_pricing_summary": _q1,
@@ -1927,10 +1965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / similarity / text
         "dedup_exact": _dedup_exact,
         "dedup_tokenset": _dedup_tokenset,
-        "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_cluster_assign": _dedup_cluster_assign,
         "dedup_minhash_clusters": _dedup_minhash_clusters,
         "corpus_curation": _corpus_curation,
+        "corpus_decontaminate": _decontam,
         "corpus_pack_sequences": _corpus_pack_sequences,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "ann_cosine_top1": _ann_top1,
@@ -1987,11 +2025,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangle_count": _SYNTH_KG_SQL["kg_triangle_count"],
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_tokenset": _DEDUP_TOKENSET_SQL,
-        "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_cluster_assign": _DEDUP_CLUSTER_ASSIGN_SQL,
         # dedup_minhash_clusters: LSH-backed (approximate candidate
         # generation) — cluster parity vs exact pairs gated in pytest.
         "corpus_curation": _corpus_curation_sql(),
+        "corpus_decontaminate": _DECONTAM_SQL,
         "corpus_pack_sequences": _CORPUS_PACK_SQL,
         "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_top1": _ANN_TOP1_SQL,

@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "ann_lsh_top1",
     "text_stats",
     "corpus_pack_sequences",
+    # uncapped on the full documents table: the eval-set n-gram side is
+    # broadcast, so this measures the corpus-side single-projection scan
+    "corpus_decontaminate",
 ]
 # r3→r4 renames (registry reconciliation): kg_extract_mentions →
 # kg_mention_spans (same extraction + span struct); text_quality +

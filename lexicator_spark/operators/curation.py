@@ -95,6 +95,7 @@ def curate_corpus(
     min_quality_bp: int = 4000,
     allowed_langs: tuple[str, ...] = ("en",),
     val_pct: int = 10,
+    contamination: DataFrame | None = None,
 ) -> DataFrame:
     """One row per input document:
     (doc_id, n_tokens, quality_bp, lang_pred, split, keep, drop_reason).
@@ -102,8 +103,11 @@ def curate_corpus(
     ``clusters`` is a ``near_dup_clusters`` output — pass the
     ``minhash_lsh_star_edges``-backed variant at scale (linear) or the
     exact-Jaccard one where an oracle is needed; omitted → no dedup
-    gate.  ``drop_reason`` is the FIRST failing check in the fixed
-    order duplicate → lang → too_short → low_quality (the order real
+    gate.  ``contamination`` is a ``decontam.decontaminate`` report —
+    docs flagged ``is_contaminated`` are dropped (eval-set collision);
+    docs absent from the report pass the gate.  ``drop_reason`` is
+    the FIRST failing check in the fixed order duplicate →
+    contaminated → lang → too_short → low_quality (the order real
     pipelines report: cheapest-to-explain first), null iff kept."""
     feats = with_split(
         TS.with_langid(TS.with_quality(docs)), val_pct=val_pct
@@ -115,12 +119,22 @@ def curate_corpus(
         )
     else:
         feats = feats.withColumn("dup_keep", F.lit(True))
+    if contamination is not None:
+        contam = contamination.select("doc_id", "is_contaminated")
+        feats = feats.join(contam, "doc_id", "left").withColumn(
+            "is_contaminated",
+            F.coalesce(F.col("is_contaminated"), F.lit(False)),
+        )
+    else:
+        feats = feats.withColumn("is_contaminated", F.lit(False))
     lang_ok = F.col("lang_pred").isin(list(allowed_langs))
     long_enough = F.col("n_tokens") >= min_tokens
     good_enough = F.col("quality_bp") >= min_quality_bp
-    keep = F.col("dup_keep") & lang_ok & long_enough & good_enough
+    clean = ~F.col("is_contaminated")
+    keep = F.col("dup_keep") & clean & lang_ok & long_enough & good_enough
     drop_reason = (
         F.when(~F.col("dup_keep"), F.lit("duplicate"))
+        .when(~clean, F.lit("contaminated"))
         .when(~lang_ok, F.lit("lang"))
         .when(~long_enough, F.lit("too_short"))
         .when(~good_enough, F.lit("low_quality"))

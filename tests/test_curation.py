@@ -94,3 +94,42 @@ def test_split_is_content_deterministic(spark):
     assert a == b
     # doc 1 and 2 share text → same bucket by construction
     assert a[1] == a[2]
+
+
+def test_curation_contamination_gate(spark):
+    """decontam report plugged into curate_corpus: contaminated docs
+    drop with reason 'contaminated'; duplicate outranks contaminated
+    in the first-failing order; docs absent from the report pass."""
+    from lexicator_spark.operators import decontam as DC
+
+    docs = _docs(spark)
+    # eval set = an 8-token window of GOOD_EN → contaminates 1, 2, 6
+    bench = spark.createDataFrame(
+        [("b1", " ".join(GOOD_EN.split()[:8]))], ["bench_id", "text"]
+    )
+    report = DC.decontaminate(docs, bench, n=8)
+    clusters = D.near_dup_clusters(docs, method="jaccard", threshold=0.9,
+                                   max_token_df=10**9)
+    rows = {
+        r.doc_id: r
+        for r in CU.curate_corpus(
+            docs, clusters=clusters, min_tokens=5, min_quality_bp=5000,
+            allowed_langs=("en",), val_pct=10, contamination=report,
+        ).collect()
+    }
+    assert not rows[1].keep and rows[1].drop_reason == "contaminated"
+    assert rows[2].drop_reason == "duplicate"  # outranks contaminated
+    assert not rows[6].keep and rows[6].drop_reason == "contaminated"
+    assert rows[3].drop_reason == "lang"  # clean doc: later gate fires
+
+    # a partial report (some docs missing) treats absent docs as clean
+    partial = report.filter("doc_id = 6")
+    rows2 = {
+        r.doc_id: r
+        for r in CU.curate_corpus(
+            docs, min_tokens=5, min_quality_bp=5000,
+            allowed_langs=("en",), val_pct=10, contamination=partial,
+        ).collect()
+    }
+    assert rows2[1].keep  # absent from report → clean
+    assert rows2[6].drop_reason == "contaminated"
