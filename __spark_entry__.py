@@ -1701,8 +1701,9 @@ def _decontam(spark, sf):
     corpus itself (every 25th doc contributes tokens 3..14 as a
     12-token snippet) so both engines build the identical benchmark
     with no side fixture.  Exactly SQL-expressible; plan shape
-    (benchmark n-gram set broadcast, corpus side shuffles only the
-    collision hits) gated in tests/test_decontam.py."""
+    (benchmark n-gram set broadcast-left-joined, one corpus pass,
+    map-side-combined per-doc count agg) gated in
+    tests/test_decontam.py."""
     from lexicator_spark.operators import decontam as DCM
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
@@ -1712,9 +1713,7 @@ def _decontam(spark, sf):
     bench = docs.filter(F.col("doc_id") % 25 == 0).select(
         F.concat_ws(" ", F.slice(toks, 3, 12)).alias("text")
     )
-    return DCM.decontaminate(docs, bench, n=8).withColumn(
-        "n_doc_ngrams", F.col("n_doc_ngrams").cast("bigint")
-    )
+    return DCM.decontaminate(docs, bench, n=8)
 
 
 _DECONTAM_SQL = """

@@ -6,6 +6,7 @@
         [--stage all|extract|link|canonicalize|materialize] \
         [--no-resume] [--impl native|pandas] [--synth N] \
         [--refresh] [--refresh-e2e] [--dedup METHOD] \
+        [--decontam BENCH.parquet] \
         [--graph degrees|triangles|pagerank] [--compact]
 
 Local smoke: ``python -m lexicator_spark --synth 1000 --out /tmp/kg``.
@@ -65,6 +66,16 @@ def main(argv: list[str] | None = None) -> int:
                          "linear-candidate scale path)")
     ap.add_argument("--threshold", type=float, default=0.6,
                     help="Jaccard threshold for --dedup methods")
+    ap.add_argument("--decontam", default=None, metavar="BENCH_PARQUET",
+                    help="benchmark-decontaminate --input documents "
+                         "(doc_id, text) against an eval-set parquet "
+                         "(text column); writes the per-doc collision "
+                         "report (n_hits, contam_frac, is_contaminated) "
+                         "to --out")
+    ap.add_argument("--ngram", type=int, default=8,
+                    help="--decontam word n-gram length")
+    ap.add_argument("--min-hits", type=int, default=1,
+                    help="--decontam collisions needed to flag a doc")
     ap.add_argument("--graph", default=None,
                     choices=["degrees", "triangles", "pagerank"],
                     help="run graph analytics over a MATERIALIZED kg "
@@ -95,6 +106,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--compact requires --input (an epoch-partitioned stream sink)")
     if args.dedup and not args.input:
         ap.error("--dedup requires --input (a documents parquet)")
+    if args.decontam and not args.input:
+        ap.error("--decontam requires --input (a documents parquet)")
     if args.graph and not args.input:
         ap.error("--graph requires --input (a materialized kg root)")
 
@@ -156,6 +169,32 @@ def main(argv: list[str] | None = None) -> int:
                     "docs": n_docs,
                     "clusters": n_keep,
                     "dropped": n_docs - n_keep,
+                    "out": args.out,
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
+    if args.decontam:
+        from lexicator_spark.operators.decontam import decontaminate
+
+        docs = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.decontam)
+        report = decontaminate(
+            docs, bench, n=args.ngram, min_hits=args.min_hits
+        )
+        report.write.mode("overwrite").parquet(args.out)
+        persisted = spark.read.parquet(args.out)
+        n_docs = persisted.count()
+        n_flagged = persisted.filter("is_contaminated").count()
+        print(
+            json.dumps(
+                {
+                    "decontam_ngram": args.ngram,
+                    "min_hits": args.min_hits,
+                    "docs": n_docs,
+                    "contaminated": n_flagged,
                     "out": args.out,
                 }
             )

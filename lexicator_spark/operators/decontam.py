@@ -13,14 +13,23 @@ pipeline runs right before packing.
 Scale shape (the whole point at 100 TB): the benchmark side is an
 eval set — 10³–10⁶ examples, 10⁵–10⁷ distinct n-grams — so its
 distinct n-gram set is explicitly ``broadcast()``; the corpus side is
-one projection (tokenize → sliding n-grams → explode distinct) that
-never shuffles, and the only shuffled rows are the *hits* of the
-broadcast inner join (bounded by actual contamination, not corpus
-size) aggregated per doc_id with map-side combine.  No corpus-vs-
+ONE pass (tokenize → n-grams → explode_outer → broadcast left join →
+per-doc count aggregate) that computes each doc's grams exactly once
+and, thanks to map-side partial aggregation on ``id_col`` (a doc's
+exploded grams never leave their scan partition before the partial
+agg), shuffles ~one row per document — not per gram.  No corpus-vs-
 corpus join exists anywhere — corpus rows meet only the broadcast
 set.  Tokenization matches ``dedup.TOKEN_SPLIT`` (lowercase,
 whitespace split) so decontamination and near-dup dedup agree on what
 a token is.
+
+Expression-shape note: the token array MUST be materialized as its
+own projected column before the n-gram ``transform`` consumes it.
+An inline ``filter(split(...))`` subtree referenced from inside the
+``transform`` lambda is re-evaluated per sequence element — O(tokens²)
+string splitting per row, measured 6× slower at sf0.1.  The projected
+alias is referenced ≥3 times downstream, which keeps Catalyst's
+CollapseProject from inlining it back.
 """
 
 from __future__ import annotations
@@ -37,13 +46,14 @@ def _ordered_tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != F.lit(""))
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Distinct space-joined word n-grams of ``col``; empty array when
-    the text has fewer than ``n`` tokens.  The ``when`` guard matters:
-    Spark's ``sequence(1, size-n+1)`` auto-steps *downward* when the
-    stop is below the start, so an unguarded short doc would emit
-    bogus negative-index slices instead of nothing."""
-    toks = _ordered_tokens(col)
+def gram_array(toks: Column, n: int) -> Column:
+    """Distinct space-joined word n-grams of an ALREADY-MATERIALIZED
+    token-array column (pass ``F.col(...)``, not an expression tree —
+    see the module docstring); empty array when fewer than ``n``
+    tokens.  The ``when`` guard matters: Spark's ``sequence(1,
+    size-n+1)`` auto-steps *downward* when the stop is below the
+    start, so an unguarded short doc would emit bogus negative-index
+    slices instead of nothing."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -53,13 +63,23 @@ def word_ngrams(col: Column, n: int) -> Column:
     )
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-grams straight from a text column — the
+    convenience form for one-off expressions and tests.  Hot paths
+    (``decontaminate``, ``benchmark_ngrams``) tokenize into a real
+    column first and call ``gram_array`` so the tokenization runs
+    once per row, not once per gram."""
+    return gram_array(_ordered_tokens(col), n)
+
+
 def benchmark_ngrams(
     benchmark: DataFrame, n: int = 8, text_col: str = "text"
 ) -> DataFrame:
     """The benchmark's distinct n-gram set — one column ``gram``.
     Distinct BEFORE broadcast so the shipped table is minimal."""
+    toked = benchmark.select(_ordered_tokens(F.col(text_col)).alias("_toks"))
     return (
-        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        toked.select(F.explode(gram_array(F.col("_toks"), n)).alias("gram"))
         .distinct()
     )
 
@@ -83,40 +103,42 @@ def decontaminate(
     ``is_contaminated = n_hits >= min_hits`` (default: any collision
     flags the doc, the published-recipe default).
 
-    Plan: corpus-side single projection + explode; broadcast inner
-    join against the benchmark n-gram set; hit counts aggregate on
-    ``id_col`` (only colliding rows shuffle); one left join puts the
-    counts back on the per-doc base.  Docs with zero hits never leave
-    their scan partition until the final join.
+    Plan: one corpus-side projection (tokens materialized once,
+    grams exploded with ``explode_outer`` so gram-less docs keep a
+    row) → broadcast LEFT join against the benchmark n-gram set →
+    ONE ``groupBy(id_col)`` counting total grams and bench matches
+    together.  Map-side combine collapses each doc to a single
+    partial row before the only shuffle.
     """
-    base = docs.select(
+    toked = docs.select(
+        F.col(id_col), _ordered_tokens(F.col(text_col)).alias("_toks")
+    )
+    doc_grams = toked.select(
         F.col(id_col),
-        F.size(word_ngrams(F.col(text_col), n)).alias("n_doc_ngrams"),
+        F.explode_outer(gram_array(F.col("_toks"), n)).alias("gram"),
     )
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    )
-    bench = F.broadcast(benchmark_ngrams(benchmark, n=n, text_col=bench_text_col))
-    hits = (
-        doc_grams.join(bench, "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    bench = F.broadcast(
+        benchmark_ngrams(benchmark, n=n, text_col=bench_text_col).select(
+            F.col("gram").alias("_bench_gram")
+        )
     )
     return (
-        base.join(hits, id_col, "left")
+        doc_grams.join(bench, doc_grams["gram"] == bench["_bench_gram"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_doc_ngrams"),
+            F.count("_bench_gram").alias("n_hits"),
+        )
         .select(
             id_col,
             "n_doc_ngrams",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            "n_hits",
             F.when(
                 F.col("n_doc_ngrams") > 0,
-                F.coalesce(F.col("n_hits"), F.lit(0))
-                / F.col("n_doc_ngrams").cast("double"),
+                F.col("n_hits") / F.col("n_doc_ngrams").cast("double"),
             )
             .otherwise(F.lit(0.0))
             .alias("contam_frac"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
-                "is_contaminated"
-            ),
+            (F.col("n_hits") >= min_hits).alias("is_contaminated"),
         )
     )

@@ -111,3 +111,44 @@ def test_plan_broadcasts_benchmark_and_stays_jvm(spark, docs, evalset):
     plan = DC.decontaminate(docs, evalset, n=N)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # ONE corpus pass: the docs parquet is scanned exactly once (the
+    # two-pass base+hits design would scan it twice)
+    assert plan.count("Scan parquet") == 1
+    # map-side combine: Spark's two-phase aggregation (partial_count
+    # below the exchange) so ~one row per doc crosses the shuffle,
+    # not one per gram
+    assert "partial_count" in plan
+
+
+def test_cli_decontam_verb(spark, tmp_path):
+    """--decontam runs the collision gate instead of the KG pipeline:
+    per-doc report parquet written to --out, JSON summary on stdout."""
+    import json
+    import subprocess
+    import sys
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten"),
+         (2, "totally different words with no overlap whatsoever here now")],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [("b1", "two three four five six seven eight nine")],
+        "bench_id string, text string",
+    ).write.parquet(bench_path)
+    out = str(tmp_path / "report")
+    r = subprocess.run(
+        [sys.executable, "-m", "lexicator_spark",
+         "--input", docs_path, "--out", out,
+         "--decontam", bench_path, "--ngram", "8", "--cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    stats = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    assert stats == {"decontam_ngram": 8, "min_hits": 1, "docs": 2,
+                     "contaminated": 1, "out": out}
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[1].is_contaminated and rows[1].n_hits == 1
+    assert not rows[2].is_contaminated and rows[2].n_hits == 0
