@@ -90,8 +90,17 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     quality_bp = floor(5000·n_distinct/n) + floor(3000·(n−n_stop)/n)
                + least(floor(250·sum_tok_len/n), 2000)
     (≙ 0.5·distinct_ratio + 0.3·(1−stop_ratio)
-       + 0.2·min(mean_tok_len/8, 1), in bp)"""
-    toks = _toks(F.col(text_col))
+       + 0.2·min(mean_tok_len/8, 1), in bp)
+
+    The token array is materialized as a projected column first: the
+    five feature expressions reference it ~10 times, and expressions
+    containing lambda HOFs are excluded from codegen subexpression
+    elimination, so inlining the split+filter tree re-tokenizes the
+    text once per reference (same pitfall as operators/decontam.py's
+    module note).  The multi-referenced alias keeps CollapseProject
+    from inlining it back."""
+    toked = docs.withColumn("__toks", _toks(F.col(text_col)))
+    toks = F.col("__toks")
     n = F.size(toks).cast("double")
     n_distinct = F.size(F.array_distinct(toks)).cast("double")
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
@@ -101,7 +110,7 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, x: acc + x,
     )
     return (
-        docs.withColumn("n_tokens", F.size(toks))
+        toked.withColumn("n_tokens", F.size(toks))
         .withColumn("distinct_ratio_bp", F.floor(10000.0 * n_distinct / n))
         .withColumn("stop_ratio_bp", F.floor(10000.0 * n_stop / n))
         .withColumn("mean_tok_len_c", F.floor(100.0 * sum_len / n))
@@ -111,14 +120,20 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
             + F.floor(3000.0 * (n - n_stop) / n)
             + F.least(F.floor(250.0 * sum_len / n), F.lit(2000).cast("bigint")),
         )
+        .drop("__toks")
     )
 
 
 def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language id: language with the highest marker-word
     hit count; zero hits → 'und'.  Deterministic tie-break: first
-    language in alphabetical code order (de < en < es < fr) wins."""
-    toks = _toks(F.col(text_col))
+    language in alphabetical code order (de < en < es < fr) wins.
+    Tokens materialized once (see ``with_quality``): the folded
+    best-lang expression references the marker counts ~2× each and
+    each count references the token array, so an inline split tree
+    would re-tokenize ~8× per row."""
+    toked = docs.withColumn("__toks", _toks(F.col(text_col)))
+    toks = F.col("__toks")
     counts = {
         lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -131,7 +146,7 @@ def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_n = F.when(cond, counts[lang]).otherwise(best_n)
     # evaluate in order: fold left so earlier (alphabetical) wins ties
-    return docs.withColumn("lang_pred", best_lang)
+    return toked.withColumn("lang_pred", best_lang).drop("__toks")
 
 
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
