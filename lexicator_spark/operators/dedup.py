@@ -280,9 +280,17 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     aggregate of 64 signed bit-count sums (+1 when the bit is set,
     −1 otherwise); the fingerprint sets bit b iff sum_b > 0.  Bit 63
     contributes the sign bit via two's complement.  Docs with no
-    tokens are absent from the output."""
-    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    h = F.xxhash64("tok")
+    tokens are absent from the output.
+
+    The token hash is materialized as its own projected column: all
+    64 aggregate expressions reference it, and aggregate codegen does
+    not common-subexpression-eliminate across aggregates, so the
+    inline form hashed every token 64 times (measured 1.9× slower at
+    sf0.1)."""
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("_h"))
+    h = F.col("_h")
     aggs = [
         F.sum(
             F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
