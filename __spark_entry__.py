@@ -1790,17 +1790,21 @@ def _text_stats(spark, sf):
     """All per-document text analyses in one driver-visible row:
     whitespace token count + quality basis points (with_quality),
     language id (with_langid), BPE-ish pre-token count
-    (with_bpe_token_count), md5 content fingerprint (with_fingerprint)
-    and the rolling polynomial fingerprint (with_rolling_fingerprint).
+    (with_bpe_token_count), md5 content fingerprint (with_fingerprint),
+    the rolling polynomial fingerprint (with_rolling_fingerprint), and
+    the Gopher-style duplicate-3-gram repetition fraction
+    (with_repetition, r5).
     Supersedes the r3 per-operator queries text_quality / text_langid /
     text_token_count / text_token_count_bpe / doc_fingerprint /
     doc_fingerprint_rolling — the per-doc row checks strictly more than
     the retired per-lang aggregates did (every doc's value is hashed,
     not a 4-row rollup), in one registry slot instead of six."""
     docs = _t(spark, sf, "documents")
-    out = TS.with_rolling_fingerprint(
-        TS.with_fingerprint(
-            TS.with_bpe_token_count(TS.with_langid(TS.with_quality(docs)))
+    out = TS.with_repetition(
+        TS.with_rolling_fingerprint(
+            TS.with_fingerprint(
+                TS.with_bpe_token_count(TS.with_langid(TS.with_quality(docs)))
+            )
         )
     )
     return out.select(
@@ -1813,6 +1817,7 @@ def _text_stats(spark, sf):
         "n_bpe_tokens",
         "fingerprint",
         "rolling_fp",
+        "dup_ngram_frac_bp",
     )
 
 
@@ -1858,6 +1863,13 @@ WITH t AS (
                        c -> c <> ''),
            c -> CAST(ascii(c) AS BIGINT)) AS cs
   FROM t
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM t
 )
 SELECT f.doc_id,
        CAST(f.n AS INT) AS n_tokens,
@@ -1871,8 +1883,11 @@ SELECT f.doc_id,
        md5(array_to_string(f.toks, ' ')) AS fingerprint,
        CAST(CASE WHEN len(c.cs) = 0 THEN 0
                  ELSE list_reduce(c.cs, (a, b) -> (a * {TS.ROLLING_BASE} + b) % {TS.ROLLING_MOD})
-            END AS BIGINT) AS rolling_fp
-FROM feats f JOIN codes c ON f.doc_id = c.doc_id
+            END AS BIGINT) AS rolling_fp,
+       CAST(CASE WHEN len(g.gs) = 0 THEN 0
+                 ELSE floor(10000.0 * (len(g.gs) - len(list_distinct(g.gs))) / len(g.gs))
+            END AS BIGINT) AS dup_ngram_frac_bp
+FROM feats f JOIN codes c ON f.doc_id = c.doc_id JOIN grams g ON f.doc_id = g.doc_id
 """
 
 

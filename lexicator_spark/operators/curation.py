@@ -96,6 +96,7 @@ def curate_corpus(
     allowed_langs: tuple[str, ...] = ("en",),
     val_pct: int = 10,
     contamination: DataFrame | None = None,
+    max_dup_ngram_bp: int | None = None,
 ) -> DataFrame:
     """One row per input document:
     (doc_id, n_tokens, quality_bp, lang_pred, split, keep, drop_reason).
@@ -105,13 +106,22 @@ def curate_corpus(
     exact-Jaccard one where an oracle is needed; omitted → no dedup
     gate.  ``contamination`` is a ``decontam.decontaminate`` report —
     docs flagged ``is_contaminated`` are dropped (eval-set collision);
-    docs absent from the report pass the gate.  ``drop_reason`` is
-    the FIRST failing check in the fixed order duplicate →
-    contaminated → lang → too_short → low_quality (the order real
-    pipelines report: cheapest-to-explain first), null iff kept."""
+    docs absent from the report pass the gate.  ``max_dup_ngram_bp``
+    enables the Gopher-style intra-document repetition gate
+    (``textstats.with_repetition``): docs whose duplicate-3-gram
+    fraction exceeds the cap (basis points) drop as 'repetitive'.
+    ``drop_reason`` is the FIRST failing check in the fixed order
+    duplicate → contaminated → lang → too_short → low_quality →
+    repetitive (the order real pipelines report: cheapest-to-explain
+    first), null iff kept."""
     feats = with_split(
         TS.with_langid(TS.with_quality(docs)), val_pct=val_pct
     )
+    if max_dup_ngram_bp is not None:
+        feats = TS.with_repetition(feats)
+        not_repetitive = F.col("dup_ngram_frac_bp") <= max_dup_ngram_bp
+    else:
+        not_repetitive = F.lit(True)
     if clusters is not None:
         keep_dup = clusters.select("doc_id", F.col("keep").alias("dup_keep"))
         feats = feats.join(keep_dup, "doc_id", "left").withColumn(
@@ -131,13 +141,17 @@ def curate_corpus(
     long_enough = F.col("n_tokens") >= min_tokens
     good_enough = F.col("quality_bp") >= min_quality_bp
     clean = ~F.col("is_contaminated")
-    keep = F.col("dup_keep") & clean & lang_ok & long_enough & good_enough
+    keep = (
+        F.col("dup_keep") & clean & lang_ok & long_enough & good_enough
+        & not_repetitive
+    )
     drop_reason = (
         F.when(~F.col("dup_keep"), F.lit("duplicate"))
         .when(~clean, F.lit("contaminated"))
         .when(~lang_ok, F.lit("lang"))
         .when(~long_enough, F.lit("too_short"))
         .when(~good_enough, F.lit("low_quality"))
+        .when(~not_repetitive, F.lit("repetitive"))
     )
     return feats.select(
         "doc_id",

@@ -46,19 +46,23 @@ def _ordered_tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != F.lit(""))
 
 
-def gram_array(toks: Column, n: int) -> Column:
-    """Distinct space-joined word n-grams of an ALREADY-MATERIALIZED
+def gram_array(toks: Column, n: int, distinct: bool = True) -> Column:
+    """Space-joined word n-grams of an ALREADY-MATERIALIZED
     token-array column (pass ``F.col(...)``, not an expression tree —
     see the module docstring); empty array when fewer than ``n``
-    tokens.  The ``when`` guard matters: Spark's ``sequence(1,
-    size-n+1)`` auto-steps *downward* when the stop is below the
-    start, so an unguarded short doc would emit bogus negative-index
-    slices instead of nothing."""
+    tokens.  ``distinct=False`` keeps every positional gram
+    (multiplicity matters for intra-doc repetition scoring).  The
+    ``when`` guard matters: Spark's ``sequence(1, size-n+1)``
+    auto-steps *downward* when the stop is below the start, so an
+    unguarded short doc would emit bogus negative-index slices
+    instead of nothing."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -124,6 +124,34 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """``dup_ngram_frac_bp``: fraction of the document's word
+    ``n``-grams that are repeats of an earlier gram, in integer basis
+    points (floor) — the Gopher/MassiveText-style intra-document
+    repetition signal (published recipe: drop docs whose duplicate
+    n-gram fraction is high; boilerplate and looping generations score
+    high, natural prose low).  0 for docs with fewer than ``n`` tokens.
+
+    dup_frac = 1 − n_distinct_grams / n_grams, so multiplicity
+    matters: the positional gram array is materialized once and both
+    sizes read it (same HOF-CSE pitfall note as ``with_quality``)."""
+    from lexicator_spark.operators.decontam import gram_array
+
+    toked = docs.withColumn("__toks", _toks(F.col(text_col))).withColumn(
+        "__grams", gram_array(F.col("__toks"), n, distinct=False)
+    )
+    n_g = F.size(F.col("__grams")).cast("double")
+    n_d = F.size(F.array_distinct(F.col("__grams"))).cast("double")
+    return toked.withColumn(
+        "dup_ngram_frac_bp",
+        F.when(n_g > 0, F.floor(10000.0 * (n_g - n_d) / n_g)).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    ).drop("__toks", "__grams")
+
+
 def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language id: language with the highest marker-word
     hit count; zero hits → 'und'.  Deterministic tie-break: first

@@ -330,3 +330,66 @@ def test_cosine_topk_self_similarity(spark):
     by_rank = {r.rank: (r.neighbor_id, r.score) for r in out}
     assert by_rank[1] == (2, 1.0)
     assert by_rank[2] == (3, 0.0)
+
+
+def test_repetition_score_matches_python_twin(spark):
+    """with_repetition == the literal Gopher recipe: 1 - distinct/total
+    positional 3-grams, floored to basis points; 0 below 3 tokens."""
+    from lexicator_spark.operators import textstats as TS
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # one distinct gram
+        (2, "the quick brown fox jumps over the dog"),  # all distinct
+        (3, "a b c a b c a b c a b c"),                 # period-3 loop
+        (4, "one two"),                                  # < n tokens
+        (5, None),
+        (6, "x y z"),                                    # exactly one gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.dup_ngram_frac_bp
+        for r in TS.with_repetition(docs, n=3).collect()
+    }
+
+    import math
+
+    for doc_id, text in rows:
+        toks = text.lower().split() if text else []
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        want = (
+            math.floor(10000.0 * (len(grams) - len(set(grams))) / len(grams))
+            if grams
+            else 0
+        )
+        assert got[doc_id] == want, doc_id
+    assert got[1] == 7500 and got[2] == 0 and got[4] == 0 and got[6] == 0
+
+
+def test_curation_repetition_gate(spark):
+    """max_dup_ngram_bp drops loopy docs as 'repetitive' (last in the
+    first-failing order); default None leaves keep decisions alone."""
+    from lexicator_spark.operators import curation as CU
+
+    loopy = " ".join(["green meadow shines bright today"] * 12)
+    docs = spark.createDataFrame(
+        [(1, loopy),
+         (2, "the quick brown fox jumps over a lazy dog in the warm sun")],
+        "doc_id long, text string",
+    )
+    gated = {
+        r.doc_id: r
+        for r in CU.curate_corpus(
+            docs, min_tokens=5, min_quality_bp=0, allowed_langs=("en", "und"),
+            max_dup_ngram_bp=2000,
+        ).collect()
+    }
+    assert not gated[1].keep and gated[1].drop_reason == "repetitive"
+    assert gated[2].keep and gated[2].drop_reason is None
+
+    ungated = {
+        r.doc_id: r
+        for r in CU.curate_corpus(
+            docs, min_tokens=5, min_quality_bp=0, allowed_langs=("en", "und"),
+        ).collect()
+    }
+    assert ungated[1].keep  # no gate -> the loopy doc survives
