@@ -88,6 +88,79 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted data mixing — the source-mixture step a
+    training pipeline runs after curation (the published recipe:
+    per-source sampling weights, with upsampling weights > 1 repeating
+    a source multiple times per epoch).  Source ``s`` with weight
+    ``w`` contributes ``floor(w)`` full copies of each doc plus one
+    fractional copy sampled with probability ``w − floor(w)``, so the
+    expected row count per doc is exactly ``w``.  Sources absent from
+    ``weights`` (or with weight 0) are dropped.
+
+    Sampling is a pure md5 hash of (key, copy index, seed) — no RNG,
+    retry-stable, partitioning-independent, engine-portable (the same
+    md5-bucket idiom as ``with_split``).  Output = input columns +
+    ``copy_idx`` (0-based, distinct per repeated copy so downstream
+    packing treats copies as separate rows).
+
+    Plan shape: a literal when-chain over the (small, driver-known)
+    source list, one ``explode`` of a per-row index sequence sized
+    ``ceil(w)``, and a filter in the same projection — output-
+    proportional work, zero shuffles, scales to any corpus size.
+    """
+    full = {s: int(w) for s, w in weights.items()}
+    frac_ppm = {s: round((w - int(w)) * 1_000_000) for s, w in weights.items()}
+    n_cand = {
+        s: full[s] + (1 if frac_ppm[s] > 0 else 0) for s in weights
+    }
+    live = [s for s in weights if n_cand[s] > 0]
+    if not live:
+        return docs.withColumn("copy_idx", F.lit(0)).limit(0)
+
+    def chain(mapping: dict[str, int]) -> F.Column:
+        col = F.lit(None).cast("int")
+        for s in live:
+            col = F.when(F.col(source_col) == s, F.lit(mapping[s])).otherwise(col)
+        return col
+
+    hash_ppm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col(key_col).cast("string"),
+                        F.col("copy_idx").cast("string"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return (
+        docs.filter(F.col(source_col).isin(live))
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), chain(n_cand) - F.lit(1))),
+        )
+        .filter(
+            (F.col("copy_idx") < chain(full)) | (hash_ppm < chain(frac_ppm))
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     clusters: DataFrame | None = None,

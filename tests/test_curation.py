@@ -133,3 +133,72 @@ def test_curation_contamination_gate(spark):
     }
     assert rows2[1].keep  # absent from report → clean
     assert rows2[6].drop_reason == "contaminated"
+
+
+def test_mixture_sample_exact_twin(spark):
+    """mixture_sample == the pure-Python md5 recipe exactly: full
+    copies unconditional, fractional copy iff md5-ppm(key, copy_idx,
+    seed) < frac(w)·10⁶; unlisted sources dropped; copy_idx distinct."""
+    import hashlib
+
+    from lexicator_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", ["wiki", "web", "code", "junk"][i % 4])
+         for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    weights = {"wiki": 2.5, "web": 1.0, "code": 0.3, "junk": 0.0}
+    seed = 7
+    got = {
+        (r.doc_id, r.copy_idx)
+        for r in CU.mixture_sample(docs, weights, seed=seed).collect()
+    }
+
+    def ppm(doc_id, copy_idx):
+        h = hashlib.md5(
+            f"{doc_id}\x1f{copy_idx}\x1f{seed}".encode()
+        ).hexdigest()
+        return int(h[:8], 16) % 1_000_000
+
+    expected = set()
+    for i in range(400):
+        src = ["wiki", "web", "code", "junk"][i % 4]
+        w = weights[src]
+        full, frac = int(w), round((w - int(w)) * 1_000_000)
+        for c in range(full):
+            expected.add((i, c))
+        if frac > 0 and ppm(i, full) < frac:
+            expected.add((i, full))
+    assert got == expected
+
+    # expected-rate sanity: wiki docs average ~2.5 copies, web exactly
+    # 1, code ~0.3, junk 0
+    n_wiki = sum(1 for d, _ in got if d % 4 == 0)
+    assert 2.0 * 100 <= n_wiki <= 3.0 * 100
+    assert sum(1 for d, _ in got if d % 4 == 1) == 100
+    assert not any(d % 4 == 3 for d, _ in got)
+
+    # a different seed moves the fractional picks but not the full copies
+    got2 = {
+        (r.doc_id, r.copy_idx)
+        for r in CU.mixture_sample(docs, weights, seed=seed + 1).collect()
+    }
+    full_copies = {
+        (d, c) for (d, c) in expected
+        if c < int(weights[["wiki", "web", "code", "junk"][d % 4]])
+    }
+    assert full_copies <= got2
+    assert got2 != got
+
+
+def test_mixture_sample_plan_has_no_shuffle(spark):
+    from lexicator_spark.operators import curation as CU
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        CU.mixture_sample(docs, {"src0": 1.5, "src1": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # output-proportional, shuffle-free
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
