@@ -40,3 +40,9 @@ def ship_package(spark) -> str:
     path = build_pyfiles_zip()
     spark.sparkContext.addPyFile(path)
     return path
+
+
+if __name__ == "__main__":
+    # the documented launch idiom:
+    #   spark-submit --py-files $(python -m lexicator_spark.submit) ...
+    print(build_pyfiles_zip())
