@@ -1707,9 +1707,7 @@ def _decontam(spark, sf):
     from lexicator_spark.operators import decontam as DCM
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
-    )
+    toks = DCM._ordered_tokens(F.col("text"))
     bench = docs.filter(F.col("doc_id") % 25 == 0).select(
         F.concat_ws(" ", F.slice(toks, 3, 12)).alias("text")
     )
@@ -1799,13 +1797,19 @@ def _text_stats(spark, sf):
     doc_fingerprint_rolling — the per-doc row checks strictly more than
     the retired per-lang aggregates did (every doc's value is hashed,
     not a 4-row rollup), in one registry slot instead of six."""
-    docs = _t(spark, sf, "documents")
+    docs = TS.with_tokens(_t(spark, sf, "documents"))
     out = TS.with_repetition(
         TS.with_rolling_fingerprint(
             TS.with_fingerprint(
-                TS.with_bpe_token_count(TS.with_langid(TS.with_quality(docs)))
+                TS.with_bpe_token_count(
+                    TS.with_langid(
+                        TS.with_quality(docs, toks_col="__toks"),
+                        toks_col="__toks",
+                    )
+                )
             )
-        )
+        ),
+        toks_col="__toks",
     )
     return out.select(
         "doc_id",

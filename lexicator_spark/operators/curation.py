@@ -187,14 +187,20 @@ def curate_corpus(
     duplicate → contaminated → lang → too_short → low_quality →
     repetitive (the order real pipelines report: cheapest-to-explain
     first), null iff kept."""
+    # one shared token array for every text feature in the chain
+    toked = TS.with_tokens(docs)
     feats = with_split(
-        TS.with_langid(TS.with_quality(docs)), val_pct=val_pct
+        TS.with_langid(
+            TS.with_quality(toked, toks_col="__toks"), toks_col="__toks"
+        ),
+        val_pct=val_pct,
     )
     if max_dup_ngram_bp is not None:
-        feats = TS.with_repetition(feats)
+        feats = TS.with_repetition(feats, toks_col="__toks")
         not_repetitive = F.col("dup_ngram_frac_bp") <= max_dup_ngram_bp
     else:
         not_repetitive = F.lit(True)
+    feats = feats.drop("__toks")
     if clusters is not None:
         keep_dup = clusters.select("doc_id", F.col("keep").alias("dup_keep"))
         feats = feats.join(keep_dup, "doc_id", "left").withColumn(

@@ -37,13 +37,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lexicator_spark.operators.dedup import TOKEN_SPLIT
-
-
-def _ordered_tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens in document order (NOT the
-    set-semantics ``dedup._tokens`` — n-grams need sequence)."""
-    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != F.lit(""))
+# THE shared ordered tokenizer (textstats._toks, split on
+# dedup.TOKEN_SPLIT) — one implementation repo-wide so dedup,
+# text-stats, and decontamination agree on what a token is.  (NOT the
+# set-semantics ``dedup._tokens`` — n-grams need sequence.)
+from lexicator_spark.operators.textstats import _toks as _ordered_tokens
 
 
 def gram_array(toks: Column, n: int, distinct: bool = True) -> Column:
@@ -65,15 +63,6 @@ def gram_array(toks: Column, n: int, distinct: bool = True) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
-
-
-def word_ngrams(col: Column, n: int) -> Column:
-    """Distinct word n-grams straight from a text column — the
-    convenience form for one-off expressions and tests.  Hot paths
-    (``decontaminate``, ``benchmark_ngrams``) tokenize into a real
-    column first and call ``gram_array`` so the tokenization runs
-    once per row, not once per gram."""
-    return gram_array(_ordered_tokens(col), n)
 
 
 def benchmark_ngrams(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lexicator_spark.operators.dedup import TOKEN_SPLIT
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
 
 # tiny marker vocabularies for the n-gram/stopword language heuristic
@@ -24,11 +26,34 @@ LANG_MARKERS = {
 
 
 def _toks(col):
-    return F.filter(F.split(F.lower(col), "\\s+"), lambda t: t != F.lit(""))
+    """THE whitespace tokenizer (lowercase, ordered, empties dropped) —
+    the single implementation every text operator shares
+    (``decontam._ordered_tokens`` re-exports it; split pattern is
+    ``dedup.TOKEN_SPLIT`` so dedup agrees on what a token is)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != F.lit(""))
+
+
+def _toked(docs: DataFrame, text_col: str, toks_col: str | None):
+    """(frame, tokens column, needs_drop): materialize the token array
+    once per operator — or reuse a caller-materialized column via
+    ``toks_col`` so an operator CHAIN tokenizes once per row total."""
+    if toks_col is not None:
+        return docs, F.col(toks_col), False
+    return docs.withColumn("__toks", _toks(F.col(text_col))), F.col("__toks"), True
 
 
 def with_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("n_tokens", F.size(_toks(F.col(text_col))))
+
+
+def with_tokens(
+    docs: DataFrame, text_col: str = "text", out_col: str = "__toks"
+) -> DataFrame:
+    """Materialize the shared token array once; pass ``out_col`` as
+    ``toks_col=`` to the per-feature operators so a chain (e.g.
+    ``curate_corpus``, the ``text_stats`` query) tokenizes each row
+    exactly once instead of once per operator."""
+    return docs.withColumn(out_col, _toks(F.col(text_col)))
 
 
 # BPE-ish pre-tokenizer: the GPT-2-style split (contraction suffixes,
@@ -80,7 +105,9 @@ def with_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality(
+    docs: DataFrame, text_col: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Quality features + combined score, all emitted as integer
     basis points (bp = value·10⁴ floored) so results are bit-stable
     across engines: ratios are single IEEE divisions of exact integer
@@ -98,9 +125,9 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     elimination, so inlining the split+filter tree re-tokenizes the
     text once per reference (same pitfall as operators/decontam.py's
     module note).  The multi-referenced alias keeps CollapseProject
-    from inlining it back."""
-    toked = docs.withColumn("__toks", _toks(F.col(text_col)))
-    toks = F.col("__toks")
+    from inlining it back.  ``toks_col`` reuses a caller-materialized
+    array (``with_tokens``) instead."""
+    toked, toks, drop = _toked(docs, text_col, toks_col)
     n = F.size(toks).cast("double")
     n_distinct = F.size(F.array_distinct(toks)).cast("double")
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
@@ -120,12 +147,15 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
             + F.floor(3000.0 * (n - n_stop) / n)
             + F.least(F.floor(250.0 * sum_len / n), F.lit(2000).cast("bigint")),
         )
-        .drop("__toks")
+        .drop(*(["__toks"] if drop else []))
     )
 
 
 def with_repetition(
-    docs: DataFrame, text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """``dup_ngram_frac_bp``: fraction of the document's word
     ``n``-grams that are repeats of an earlier gram, in integer basis
@@ -139,9 +169,8 @@ def with_repetition(
     sizes read it (same HOF-CSE pitfall note as ``with_quality``)."""
     from lexicator_spark.operators.decontam import gram_array
 
-    toked = docs.withColumn("__toks", _toks(F.col(text_col))).withColumn(
-        "__grams", gram_array(F.col("__toks"), n, distinct=False)
-    )
+    toked, toks, drop = _toked(docs, text_col, toks_col)
+    toked = toked.withColumn("__grams", gram_array(toks, n, distinct=False))
     n_g = F.size(F.col("__grams")).cast("double")
     n_d = F.size(F.array_distinct(F.col("__grams"))).cast("double")
     return toked.withColumn(
@@ -149,10 +178,12 @@ def with_repetition(
         F.when(n_g > 0, F.floor(10000.0 * (n_g - n_d) / n_g)).otherwise(
             F.lit(0).cast("bigint")
         ),
-    ).drop("__toks", "__grams")
+    ).drop(*(["__toks", "__grams"] if drop else ["__grams"]))
 
 
-def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_langid(
+    docs: DataFrame, text_col: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Heuristic language id: language with the highest marker-word
     hit count; zero hits → 'und'.  Deterministic tie-break: first
     language in alphabetical code order (de < en < es < fr) wins.
@@ -160,8 +191,7 @@ def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     best-lang expression references the marker counts ~2× each and
     each count references the token array, so an inline split tree
     would re-tokenize ~8× per row."""
-    toked = docs.withColumn("__toks", _toks(F.col(text_col)))
-    toks = F.col("__toks")
+    toked, toks, drop = _toked(docs, text_col, toks_col)
     counts = {
         lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -174,7 +204,8 @@ def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_n = F.when(cond, counts[lang]).otherwise(best_n)
     # evaluate in order: fold left so earlier (alphabetical) wins ties
-    return toked.withColumn("lang_pred", best_lang).drop("__toks")
+    out = toked.withColumn("lang_pred", best_lang)
+    return out.drop("__toks") if drop else out
 
 
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
