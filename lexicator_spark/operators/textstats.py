@@ -208,6 +208,47 @@ def with_langid(
     return out.drop("__toks") if drop else out
 
 
+# PII patterns — deliberately lookahead-free so the SAME pattern runs
+# under Java regex (Spark) and RE2 (DuckDB) and a pure-Python `re`
+# twin.  Scrub ORDER is part of the semantics (emails first so their
+# digit-bearing domains never feed the phone pattern; IPv4 before
+# phone because a dotted quad is also 8+ digits with separators).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-shaped digit runs — the
+    scrub a training pipeline runs before packing (published recipe:
+    C4/CCNet-style pattern filters; redaction beats dropping because
+    the surrounding prose keeps its training value).  Adds
+    ``out_col`` (each match → ``<KIND>``) plus per-kind match counts
+    ``n_pii_email / n_pii_ipv4 / n_pii_phone`` (counted on the text
+    as it stands when that kind is scrubbed — order above) and
+    ``n_pii_total``.  Pure Catalyst ``regexp_replace`` +
+    ``regexp_count`` inside codegen: zero shuffles, zero Python, and
+    NULL text passes through as NULL with zero counts."""
+    out = docs
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    total = F.lit(0)
+    for kind, pat in PII_PATTERNS:
+        cnt = F.regexp_count(cur, F.lit(pat))
+        out = out.withColumn(f"n_pii_{kind}", cnt)
+        total = total + F.col(f"n_pii_{kind}")
+        cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
+    return out.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+            cur
+        ),
+    ).withColumn("n_pii_total", total)
+
+
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable content fingerprint: md5 over the normalized token
     stream (lowercase, whitespace-collapsed) — dedup/idempotency key

@@ -393,3 +393,53 @@ def test_curation_repetition_gate(spark):
         ).collect()
     }
     assert ungated[1].keep  # no gate -> the loopy doc survives
+
+
+def test_scrub_pii_matches_python_twin(spark):
+    """scrub_pii == sequential re.sub over the same patterns in the
+    same order; NULL text stays NULL with zero counts; clean text
+    passes through byte-identical."""
+    import re
+
+    from lexicator_spark.operators import textstats as TS
+
+    rows = [
+        (1, "contact bob.smith+spam@corp-mail.io or call +1 (415) 555-0199 now"),
+        (2, "server at 10.0.42.7 responded; backup 192.168.1.254 did not"),
+        (3, "totally clean prose with no identifiers at all"),
+        (4, None),
+        (5, "a@b.co then 12345678901 then 8.8.8.8 mixed together"),
+        (6, "version 1.2.3.4 of the lib"),  # dotted quad scrubs as ipv4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TS.scrub_pii(docs).collect()}
+
+    for doc_id, text in rows:
+        cur = text or ""
+        counts = {}
+        for kind, pat in TS.PII_PATTERNS:
+            counts[kind] = len(re.findall(pat, cur))
+            cur = re.sub(pat, f"<{kind.upper()}>", cur)
+        g = got[doc_id]
+        if text is None:
+            assert g.text_scrubbed is None and g.n_pii_total == 0
+            continue
+        assert g.text_scrubbed == cur, doc_id
+        for kind in counts:
+            assert g[f"n_pii_{kind}"] == counts[kind], (doc_id, kind)
+        assert g.n_pii_total == sum(counts.values())
+
+    assert got[3].text_scrubbed == rows[2][1] and got[3].n_pii_total == 0
+    assert "<EMAIL>" in got[1].text_scrubbed and "<PHONE>" in got[1].text_scrubbed
+    assert got[2].n_pii_ipv4 == 2 and "<IPV4>" in got[2].text_scrubbed
+    assert got[5].n_pii_email == 1 and got[5].n_pii_phone == 1
+    assert got[5].n_pii_ipv4 == 1
+
+
+def test_scrub_pii_plan_stays_jvm(spark):
+    from lexicator_spark.operators import textstats as TS
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = TS.scrub_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # one projection, zero shuffles
