@@ -150,3 +150,49 @@ def test_partitioned_refresh_equals_recompute_on_random_evolutions(
     }
     assert got == want
     assert refresh_triples_partitioned(spark, v2, loc).n_changed == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.floats(0.0, 3.0, allow_nan=False).map(lambda w: round(w, 3)),
+        min_size=1,
+    ),
+    seed=st.integers(0, 2**31 - 1),
+    n_parts=st.integers(1, 5),
+)
+def test_mixture_sample_invariants_on_arbitrary_weights(
+    spark, weights, seed, n_parts
+):
+    """For ANY weight map/seed/partitioning: exact md5-twin equality,
+    floor(w) unconditional copies, per-(doc,copy) uniqueness, and
+    partitioning independence (hash sampling can't depend on layout)."""
+    import hashlib
+
+    from lexicator_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", f"s{i % 3}") for i in range(90)],
+        "doc_id long, text string, source string",
+    ).repartition(n_parts)
+    out = CU.mixture_sample(docs, weights, seed=seed).collect()
+    got = {(r.doc_id, r.copy_idx) for r in out}
+    assert len(out) == len(got)  # no duplicate (doc, copy) rows
+
+    expected = set()
+    for i in range(90):
+        w = weights.get(f"s{i % 3}")
+        if w is None:
+            continue
+        full, frac = int(w), round((w - int(w)) * 1_000_000)
+        expected.update((i, c) for c in range(full))
+        if frac > 0:
+            h = hashlib.md5(f"{i}\x1f{full}\x1f{seed}".encode()).hexdigest()
+            if int(h[:8], 16) % 1_000_000 < frac:
+                expected.add((i, full))
+    assert got == expected
