@@ -1,5 +1,6 @@
 """Document deduplication operators for large-scale training-data
-pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash, plus
+sub-document segment dedup (paragraph / turn boilerplate removal).
 
 Scale shapes (the point of each design):
 - exact: one hash-groupBy shuffle on a 16-byte digest — the cheapest
@@ -403,6 +404,151 @@ def near_dup_clusters(
         )
         clusters = clusters.unionByName(singles)
     return clusters.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
+def _keeper_flag(
+    segs: DataFrame, hash_col: str, order_cols: list[str]
+) -> DataFrame:
+    """Flag each segment row ``is_first`` (the corpus-wide earliest
+    occurrence of its hash in ``order_cols`` order) and count
+    ``n_copies``.  Rows with a NULL hash are dedup-ineligible and
+    flagged first unconditionally (null join keys never match).
+
+    Scale shape: groupBy(hash) → min(struct(order)) is a partial
+    (map-side-combinable) aggregation, so a boilerplate segment
+    repeated a billion times collapses to one row per input partition
+    BEFORE the shuffle — the skew-robust alternative to a
+    row_number() window, whose hot-hash partition would serialize on
+    a single task.  The join back carries one row per DISTINCT hash
+    on the build side."""
+    key = F.struct(*[F.col(c) for c in order_cols])
+    keepers = (
+        segs.filter(F.col(hash_col).isNotNull())
+        .groupBy(hash_col)
+        .agg(
+            F.min(key).alias("__keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return (
+        segs.join(keepers, hash_col, "left")
+        .withColumn(
+            "is_first",
+            F.col(hash_col).isNull() | (key == F.col("__keeper")),
+        )
+        .withColumn("n_copies", F.coalesce(F.col("n_copies"), F.lit(1)))
+        .drop("__keeper")
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\\n{2,}",
+    joiner: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the CCNet /
+    MassiveText line-dedup pass): every paragraph that is an exact
+    duplicate (by md5 of its trimmed text) of an earlier one —
+    earlier = smaller ``(id, paragraph position)`` — is REMOVED from
+    its document; documents themselves all survive, with boilerplate
+    stripped.  Returns one row per input doc:
+    ``(id_col, text_dedup, n_paras, n_kept, n_dropped)``; NULL text
+    stays NULL with zero counts.
+
+    Paragraphs whose trimmed text is shorter than ``min_chars`` are
+    never dedup candidates (they are kept verbatim) — otherwise every
+    empty segment in the corpus would collapse into one.
+
+    Three shuffles total, all on narrow keys: hash-groupBy on the
+    16-byte paragraph digest (partial agg — see ``_keeper_flag`` for
+    why this beats a window under boilerplate skew), the join back on
+    the digest, and the per-doc reassembly groupBy on ``id_col``.
+    Paragraph text rides only explode → reassemble; nothing
+    variable-width crosses the hash shuffle twice."""
+    para = F.trim(F.col("__para"))
+    segs = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("__idx", "__para"),
+        )
+        .withColumn(
+            "__h",
+            F.when(F.length(para) >= min_chars, F.md5(para)),
+        )
+    )
+    flagged = _keeper_flag(segs, "__h", [id_col, "__idx"])
+    assembled = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("is_first").cast("int")).alias("n_kept"),
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_first"),
+                            F.struct(F.col("__idx"), F.col("__para")),
+                        )
+                    )
+                ),
+                lambda x: x["__para"],
+            ),
+        ).alias("text_dedup"),
+    )
+    # re-join the original frame so NULL-text docs (whose segments a
+    # posexplode over NULL would drop — hence the coalesce above)
+    # come back as NULL output rather than empty string
+    return (
+        docs.select(id_col, F.col(text_col).alias("__orig"))
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__orig").isNotNull(), F.col("text_dedup")).alias(
+                "text_dedup"
+            ),
+            F.when(F.col("__orig").isNotNull(), F.col("n_paras"))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("n_paras"),
+            F.when(F.col("__orig").isNotNull(), F.col("n_kept"))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("n_kept"),
+            F.when(
+                F.col("__orig").isNotNull(),
+                F.col("n_paras") - F.col("n_kept"),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def dedup_turn_texts(turns: DataFrame, min_chars: int = 1) -> DataFrame:
+    """Cross-conversation turn-boilerplate detection over the
+    transcript table (input_hint schema): flag each turn whether its
+    exact text (md5 of trimmed, case-preserved — canned strings
+    repeat verbatim) first occurs HERE in ``(conv_id, turn_idx)``
+    order, plus the corpus-wide copy count.  The 'assistant pastes
+    the same canned disclaimer into a million conversations' filter:
+    downstream KG extraction or training-data export keeps
+    ``is_first`` rows and drops repeats without losing the turn slot.
+    Adds ``is_first``/``n_copies``; all input columns pass through.
+    Same skew-robust partial-agg shape as ``dedup_paragraphs``
+    (see ``_keeper_flag``); turns below ``min_chars`` trimmed length
+    are never candidates."""
+    t = F.trim(F.col("text"))
+    seg = turns.withColumn(
+        "__h",
+        F.when(t.isNotNull() & (F.length(t) >= min_chars), F.md5(t)),
+    )
+    return _keeper_flag(seg, "__h", ["conv_id", "turn_idx"]).drop("__h")
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -443,3 +443,130 @@ def test_scrub_pii_plan_stays_jvm(spark):
     plan = TS.scrub_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # one projection, zero shuffles
+
+
+def _para_twin(rows, sep=r"\n{2,}", joiner="\n\n", min_chars=1):
+    """Pure-Python twin of dedup_paragraphs: global keeper of each
+    trimmed-paragraph hash is the min (doc_id, idx); ineligible
+    (short) paragraphs always survive; NULL text -> NULL / zeros."""
+    import re
+
+    segs = []
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        for idx, p in enumerate(re.split(sep, text)):
+            segs.append((doc_id, idx, p))
+    keeper = {}
+    for doc_id, idx, p in segs:
+        t = p.strip()
+        if len(t) < min_chars:
+            continue
+        if t not in keeper or (doc_id, idx) < keeper[t]:
+            keeper[t] = (doc_id, idx)
+    out = {}
+    for doc_id, text in rows:
+        if text is None:
+            out[doc_id] = (None, 0, 0, 0)
+            continue
+        paras = re.split(sep, text)
+        kept = []
+        for idx, p in enumerate(paras):
+            t = p.strip()
+            if len(t) < min_chars or keeper[t] == (doc_id, idx):
+                kept.append(p)
+        out[doc_id] = (joiner.join(kept), len(paras), len(kept), len(paras) - len(kept))
+    return out
+
+
+def test_dedup_paragraphs_matches_python_twin(spark):
+    """Cross-doc + within-doc duplicate paragraphs removed (earliest
+    (doc, position) wins, trim-insensitive hash but original text
+    reassembled), short segments never candidates, NULL text stays
+    NULL, all-duplicate doc comes back empty-but-present."""
+    rows = [
+        (1, "alpha beta\n\nCOMMON BOILERPLATE\n\ngamma"),
+        (2, "COMMON BOILERPLATE\n\ndelta"),
+        (3, "x7 q\n\nx7 q\n\nyy"),
+        (4, "  COMMON BOILERPLATE  \n\nzeta"),
+        (5, "a\n\n \n\nb"),
+        (6, None),
+        (7, "COMMON BOILERPLATE"),
+        (8, "alpha beta\n\n\n\nCOMMON BOILERPLATE"),  # \n{2,} = one sep
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in D.dedup_paragraphs(docs).collect()}
+    twin = _para_twin(rows)
+    assert set(got) == set(twin)
+    for doc_id, (text, n_paras, n_kept, n_dropped) in twin.items():
+        g = got[doc_id]
+        assert g.text_dedup == text, doc_id
+        assert (g.n_paras, g.n_kept, g.n_dropped) == (n_paras, n_kept, n_dropped), doc_id
+    # spot-check the semantics the twin encodes
+    assert got[1].text_dedup == rows[0][1]          # first occurrence intact
+    assert got[2].text_dedup == "delta"             # boilerplate stripped
+    assert got[3].text_dedup == "x7 q\n\nyy"        # within-doc dup
+    assert got[4].text_dedup == "zeta"              # trim-insensitive match
+    assert got[5].text_dedup == rows[4][1]          # short segs kept verbatim
+    assert got[6].text_dedup is None and got[6].n_paras == 0
+    assert got[7].text_dedup == "" and got[7].n_dropped == 1  # all-dup doc
+
+
+def test_dedup_paragraphs_min_chars_and_plan(spark):
+    from pyspark.sql import functions as F2
+
+    rows = [(1, "abc\n\nzz"), (2, "abc\n\nzz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_chars=3: 'zz' (len 2) ineligible everywhere; 'abc' dedups
+    got = {r.doc_id: r for r in D.dedup_paragraphs(docs, min_chars=3).collect()}
+    assert got[1].text_dedup == "abc\n\nzz"
+    assert got[2].text_dedup == "zz" and got[2].n_dropped == 1
+
+    real = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        D.dedup_paragraphs(real)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # idempotence on the (single-paragraph) real docs: nothing kept
+    # twice, counts consistent
+    chk = D.dedup_paragraphs(real).agg(
+        F2.sum("n_kept").alias("k"),
+        F2.sum("n_paras").alias("p"),
+        F2.sum("n_dropped").alias("d"),
+    ).collect()[0]
+    assert chk.k + chk.d == chk.p
+
+
+def test_dedup_turn_texts_matches_python_twin(spark):
+    """is_first/n_copies over the synthetic transcript corpus ==
+    a dict-based first-occurrence scan in (conv_id, turn_idx) order;
+    keeping is_first rows keeps exactly one copy of every distinct
+    trimmed text."""
+    from lexicator_spark import synth
+
+    corpus = synth.make_corpus(n_convs=40, seed=13)
+    turns = synth.corpus_df(spark, corpus)
+    got = D.dedup_turn_texts(turns).collect()
+
+    rows = sorted(
+        ((r.conv_id, r.turn_idx, r.text) for r in turns.collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+    first, copies = {}, {}
+    for conv_id, turn_idx, text in rows:
+        t = (text or "").strip()
+        if not t:
+            continue
+        copies[t] = copies.get(t, 0) + 1
+        first.setdefault(t, (conv_id, turn_idx))
+    for r in got:
+        t = (r.text or "").strip()
+        if not t:
+            assert r.is_first and r.n_copies == 1
+            continue
+        assert r.is_first == (first[t] == (r.conv_id, r.turn_idx)), (r.conv_id, r.turn_idx)
+        assert r.n_copies == copies[t]
+    kept = [(r.text or "").strip() for r in got if r.is_first and (r.text or "").strip()]
+    assert len(kept) == len(set(kept)) == len(first)
+    assert len(got) == len(rows)  # pass-through: no rows lost or added
