@@ -5,7 +5,7 @@
         -m lexicator_spark --input <turns.parquet> --out <root> \
         [--stage all|extract|link|canonicalize|materialize] \
         [--no-resume] [--impl native|pandas] [--synth N] \
-        [--refresh] [--refresh-e2e] [--dedup METHOD] \
+        [--refresh] [--refresh-e2e] [--dedup METHOD] [--dedup-turns] \
         [--decontam BENCH.parquet] \
         [--graph degrees|triangles|pagerank] [--compact]
 
@@ -58,12 +58,22 @@ def main(argv: list[str] | None = None) -> int:
                          "group)")
     ap.add_argument("--dedup", default=None,
                     choices=["exact", "minhash_star", "minhash", "jaccard",
-                             "simhash"],
+                             "simhash", "paragraphs"],
                     help="run near-dup cluster assignment over --input "
                          "documents (doc_id, text) instead of the KG "
                          "pipeline; writes (doc_id, cluster_id, keep) "
                          "parquet to --out (minhash_star is the "
-                         "linear-candidate scale path)")
+                         "linear-candidate scale path). 'paragraphs' is "
+                         "the sub-document pass: duplicate paragraphs "
+                         "removed corpus-wide, docs rewritten "
+                         "(doc_id, text_dedup, n_paras, n_kept, "
+                         "n_dropped)")
+    ap.add_argument("--dedup-turns", action="store_true",
+                    help="flag cross-conversation canned-turn "
+                         "boilerplate over --input transcript turns: "
+                         "writes all turns + is_first/n_copies to "
+                         "--out (keep is_first rows downstream to "
+                         "drop verbatim repeats)")
     ap.add_argument("--threshold", type=float, default=0.6,
                     help="Jaccard threshold for --dedup methods")
     ap.add_argument("--decontam", default=None, metavar="BENCH_PARQUET",
@@ -106,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--compact requires --input (an epoch-partitioned stream sink)")
     if args.dedup and not args.input:
         ap.error("--dedup requires --input (a documents parquet)")
+    if args.dedup_turns and not args.input:
+        ap.error("--dedup-turns requires --input (a transcript turns parquet)")
     if args.decontam and not args.input:
         ap.error("--decontam requires --input (a documents parquet)")
     if args.graph and not args.input:
@@ -131,6 +143,53 @@ def main(argv: list[str] | None = None) -> int:
                     "rows_merged": res.n_rows,
                     "buckets_touched": res.n_buckets_touched,
                     "max_epoch": res.max_epoch,
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
+    if args.dedup_turns:
+        from lexicator_spark.operators import dedup as dedup_ops
+
+        turns = spark.read.parquet(args.input)
+        dedup_ops.dedup_turn_texts(turns).write.mode("overwrite").parquet(args.out)
+        persisted = spark.read.parquet(args.out)
+        n_turns = persisted.count()
+        n_first = persisted.filter("is_first").count()
+        print(
+            json.dumps(
+                {
+                    "turns": n_turns,
+                    "first_occurrences": n_first,
+                    "boilerplate_repeats": n_turns - n_first,
+                    "out": args.out,
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
+    if args.dedup == "paragraphs":
+        from lexicator_spark.operators import dedup as dedup_ops
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(args.input)
+        dedup_ops.dedup_paragraphs(docs).write.mode("overwrite").parquet(args.out)
+        persisted = spark.read.parquet(args.out)
+        stats = persisted.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_paras").alias("paras"),
+            F.sum("n_dropped").alias("dropped"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "dedup_method": "paragraphs",
+                    "docs": stats.docs,
+                    "paragraphs": int(stats.paras or 0),
+                    "paragraphs_dropped": int(stats.dropped or 0),
+                    "out": args.out,
                 }
             )
         )

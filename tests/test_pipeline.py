@@ -335,3 +335,54 @@ def test_lineage_backfill_after_crash_before_flush(spark, tmp_path):
 
     run_pipeline(spark, df, out, resume=True)  # no-op resume
     assert spark.read.parquet(os.path.join(out, "_lineage")).count() == n
+
+
+def test_cli_dedup_paragraphs_and_turns_verbs(spark, tmp_path):
+    """--dedup paragraphs rewrites docs with corpus-wide duplicate
+    paragraphs stripped; --dedup-turns flags verbatim canned turns
+    across conversations — both one subprocess each, JSON summary +
+    parquet out."""
+    import json
+    import subprocess
+    import sys
+
+    def cli(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "lexicator_spark", *argv, "--cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        return [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")][-1]
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "unique lead\n\nSHARED FOOTER"), (2, "SHARED FOOTER\n\nown body")],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "paras")
+    stats = cli("--input", docs_path, "--out", out, "--dedup", "paragraphs")
+    assert stats == {
+        "dedup_method": "paragraphs", "docs": 2, "paragraphs": 4,
+        "paragraphs_dropped": 1, "out": out,
+    }
+    rows = {r.doc_id: r.text_dedup for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "unique lead\n\nSHARED FOOTER", 2: "own body"}
+
+    turns_path = str(tmp_path / "turns")
+    spark.createDataFrame(
+        [("c1", 0, "user", "hello", None, None),
+         ("c1", 1, "assistant", "CANNED DISCLAIMER", None, None),
+         ("c2", 0, "assistant", "CANNED DISCLAIMER", None, None),
+         ("c2", 1, "user", "different", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).write.parquet(turns_path)
+    tout = str(tmp_path / "turns_flagged")
+    stats = cli("--input", turns_path, "--out", tout, "--dedup-turns")
+    assert stats == {
+        "turns": 4, "first_occurrences": 3,
+        "boilerplate_repeats": 1, "out": tout,
+    }
+    flagged = {(r.conv_id, r.turn_idx): r for r in spark.read.parquet(tout).collect()}
+    assert flagged[("c1", 1)].is_first and flagged[("c1", 1)].n_copies == 2
+    assert not flagged[("c2", 0)].is_first
