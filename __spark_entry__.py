@@ -1895,6 +1895,182 @@ FROM feats f JOIN codes c ON f.doc_id = c.doc_id JOIN grams g ON f.doc_id = g.do
 """
 
 
+def _pii_scrub(spark, sf):
+    """PII redaction (operators/textstats.py::scrub_pii): email /
+    IPv4 / phone-shaped spans → ``<KIND>`` tokens plus per-kind match
+    counts, pure Catalyst regexp inside codegen.  The corpus text
+    carries no digits, so both engines first append a deterministic
+    doc_id-derived PII suffix (one email, one dotted quad, one phone
+    per doc) — the scrub then has real matches to find, and the scrub
+    ORDER (email → ipv4 → phone, part of the operator's semantics:
+    domains and quads are digit runs too) is exercised end to end.
+    Patterns are deliberately lookahead-free (textstats.py:211) so the
+    identical pattern strings run under Java regex and RE2."""
+    docs = _t(spark, sf, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 or +1 (555) 010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return TS.scrub_pii(seeded).select(
+        "doc_id",
+        "text_scrubbed",
+        "n_pii_email",
+        "n_pii_ipv4",
+        "n_pii_phone",
+        "n_pii_total",
+    )
+
+
+def _pii_scrub_sql() -> str:
+    sql = """
+WITH s AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com via 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                '.7 or +1 (555) 010-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '__EMAIL__')) AS INT) AS n_pii_email,
+         regexp_replace(text, '__EMAIL__', '<EMAIL>', 'g') AS t1
+  FROM s
+), i AS (
+  SELECT doc_id, n_pii_email,
+         CAST(len(regexp_extract_all(t1, '__IPV4__')) AS INT) AS n_pii_ipv4,
+         regexp_replace(t1, '__IPV4__', '<IPV4>', 'g') AS t2
+  FROM e
+), p AS (
+  SELECT doc_id, n_pii_email, n_pii_ipv4,
+         CAST(len(regexp_extract_all(t2, '__PHONE__')) AS INT) AS n_pii_phone,
+         regexp_replace(t2, '__PHONE__', '<PHONE>', 'g') AS text_scrubbed
+  FROM i
+)
+SELECT doc_id, text_scrubbed, n_pii_email, n_pii_ipv4, n_pii_phone,
+       n_pii_email + n_pii_ipv4 + n_pii_phone AS n_pii_total
+FROM p
+"""
+    pats = dict(TS.PII_PATTERNS)
+    return (
+        sql.replace("__EMAIL__", pats["email"])
+        .replace("__IPV4__", pats["ipv4"])
+        .replace("__PHONE__", pats["phone"])
+    )
+
+
+# paragraph-break injection for the sub-document dedup twin: the
+# synthetic corpus has no hard newlines, so both engines split on the
+# same filler words — short word-soup segments repeat across docs
+# (~10% duplicate mass at sf0.01), giving the keeper election real
+# cross-document work
+_PARA_BREAK_RE = r"\s+(the|a)\s+"
+
+
+def _dedup_paragraphs_q(spark, sf):
+    """Sub-document exact dedup (operators/dedup.py::dedup_paragraphs,
+    the CCNet/MassiveText line-dedup pass): every paragraph that
+    repeats an earlier ``(doc_id, position)`` occurrence corpus-wide
+    is removed from its doc; docs survive with boilerplate stripped.
+    Keeper election is the skew-robust partial-agg min-struct (NOT a
+    window — see _keeper_flag); the DuckDB twin re-runs split → md5 →
+    first-occurrence election → ordered reassembly exactly."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _PARA_BREAK_RE, "\n\n").alias("text"),
+    )
+    return D.dedup_paragraphs(docs)
+
+
+_DEDUP_PARAGRAPHS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, '__BREAK__', chr(10)||chr(10), 'g') AS text
+  FROM documents
+), segs AS (
+  SELECT doc_id, i - 1 AS idx, parts[i] AS para
+  FROM (SELECT doc_id, string_split_regex(coalesce(text, ''), '\n{2,}') AS parts FROM d),
+       UNNEST(generate_series(1, len(parts))) AS t(i)
+), hashed AS (
+  SELECT doc_id, idx, para,
+         CASE WHEN length(trim(para)) >= 1 THEN md5(trim(para)) END AS h
+  FROM segs
+), flagged AS (
+  SELECT doc_id, idx, para,
+         (h IS NULL OR row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1) AS keep
+  FROM hashed
+), asm AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_paras,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN para END, chr(10)||chr(10) ORDER BY idx), '') AS text_dedup
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NOT NULL THEN a.text_dedup END AS text_dedup,
+       CASE WHEN d.text IS NOT NULL THEN a.n_paras ELSE 0 END AS n_paras,
+       CASE WHEN d.text IS NOT NULL THEN a.n_kept ELSE 0 END AS n_kept,
+       CASE WHEN d.text IS NOT NULL THEN a.n_paras - a.n_kept ELSE 0 END AS n_dropped
+FROM d JOIN asm a USING (doc_id)
+""".replace("__BREAK__", _PARA_BREAK_RE)
+
+
+# mixture weights exercising all three weight regimes: upsample with
+# fraction (2.5 → 2 full copies + p=.5 third), exact passthrough
+# (1.0), downsample (0.25); sources absent from the dict are dropped
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+_MIX_SEED = 7
+
+
+def _mixture_sample_q(spark, sf):
+    """Deterministic weighted source mixing (operators/curation.py::
+    mixture_sample): expected copies per doc == its source weight,
+    sampled by pure md5 of (doc_id, copy_idx, seed) — no RNG, so the
+    DuckDB twin reproduces the exact row set, not just the expected
+    counts.  Plan is explode + filter in one projection: zero
+    shuffles at any corpus size."""
+    from lexicator_spark.operators import curation as CU
+
+    docs = _t(spark, sf, "documents")
+    return CU.mixture_sample(docs, _MIX_WEIGHTS, seed=_MIX_SEED).select(
+        "doc_id", "source", "copy_idx"
+    )
+
+
+def _mixture_sample_sql() -> str:
+    full = {s: int(w) for s, w in _MIX_WEIGHTS.items()}
+    frac = {s: round((w - int(w)) * 1_000_000) for s, w in _MIX_WEIGHTS.items()}
+    cand = {s: full[s] + (1 if frac[s] > 0 else 0) for s in _MIX_WEIGHTS}
+    live = [s for s in _MIX_WEIGHTS if cand[s] > 0]
+
+    def case(mapping: dict[str, int]) -> str:
+        whens = " ".join(f"WHEN '{s}' THEN {mapping[s]}" for s in live)
+        return f"CASE source {whens} END"
+
+    srcs = ", ".join(f"'{s}'" for s in live)
+    return f"""
+WITH cand AS (
+  SELECT doc_id, source, CAST(i AS INT) AS copy_idx, n_full, frac_ppm
+  FROM (SELECT doc_id, source,
+               {case(cand)} AS n_cand,
+               {case(full)} AS n_full,
+               {case(frac)} AS frac_ppm
+        FROM documents WHERE source IN ({srcs})),
+       UNNEST(generate_series(0, n_cand - 1)) AS t(i)
+)
+SELECT doc_id, source, copy_idx FROM cand
+WHERE copy_idx < n_full
+   OR (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), chr(31),
+        CAST(copy_idx AS VARCHAR), chr(31), '{_MIX_SEED}')), 1, 8)) AS BIGINT)
+       % 1000000) < frac_ppm
+"""
+
+
 def _multimodal_features(spark, sf):
     """Binary-column plumbing (image/audio/video as opaque bytes +
     typed metadata) through Arrow mapInPandas feature extraction.
@@ -1938,7 +2114,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the registry was missing); dedup_ngram_jaccard → dedup_cluster_assign
     (the cluster query's oracle chain contains the identical jaccard
     pair computation verbatim, so the pair form is strictly subsumed;
-    operator-level gates stay in tests/test_dedup_similarity.py)."""
+    operator-level gates stay in tests/test_dedup_similarity.py).
+    Late-r5 swap (3 in / 3 out, registry stays at 50): pii_scrub,
+    dedup_paragraphs, and mixture_sample are NEW operator families
+    (redaction, sub-document dedup, weighted source mixing), each
+    fully SQL-oracled.  To keep the registry within the ~50-row driver
+    snapshot they displace three rows whose capability is exercised
+    verbatim inside other green queries: topk_global (global ORDER BY
+    + LIMIT is q3_shipping_priority's tail, identical plan shape),
+    join_left_outer (null-extending join machinery covered by
+    join_full_outer, and a LEFT JOIN runs verbatim inside
+    corpus_curation's oracled chain), dedup_tokenset (same
+    hash-groupBy plan family as dedup_exact, differing only in the
+    key expression).  All three retirees keep their EXACT DuckDB
+    oracle comparison in pytest via retired_oracles() /
+    tests/test_entry_queries.py — retired from the snapshot, not from
+    verification."""
     return {
         # relational core
         "q1_pricing_summary": _q1,
@@ -1946,7 +2137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": _q5,
         "q17_small_quantity_revenue": _q17,
         "join_broadcast_enrich": _join_broadcast,
-        "join_left_outer": _join_left_outer,
         "join_full_outer": _join_full_outer,
         "semi_join": _semi_join,
         "anti_join": _anti_join,
@@ -1955,7 +2145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_lead": _window_lag_lead,
         "agg_grouping_sets": _grouping_sets,
         "distinct_agg": _distinct_agg,
-        "topk_global": _topk_global,
         "set_ops": _set_ops,
         "string_funcs": _string_funcs,
         "json_extract": _json_extract,
@@ -1982,7 +2171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_top": _kg_pagerank_top,
         # dedup / similarity / text
         "dedup_exact": _dedup_exact,
-        "dedup_tokenset": _dedup_tokenset,
         "dedup_cluster_assign": _dedup_cluster_assign,
         "dedup_minhash_clusters": _dedup_minhash_clusters,
         "corpus_curation": _corpus_curation,
@@ -1992,6 +2180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top1": _ann_top1,
         "ann_lsh_top1": _ann_lsh,
         "text_stats": _text_stats,
+        "pii_scrub": _pii_scrub,
+        "dedup_paragraphs": _dedup_paragraphs_q,
+        "mixture_sample": _mixture_sample_q,
         "multimodal_features": _multimodal_features,
     }
 
@@ -2003,7 +2194,6 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier": _Q5_SQL,
         "q17_small_quantity_revenue": _Q17_SQL,
         "join_broadcast_enrich": _JOIN_BROADCAST_SQL,
-        "join_left_outer": _JOIN_LEFT_OUTER_SQL,
         "join_full_outer": _JOIN_FULL_OUTER_SQL,
         "semi_join": _SEMI_JOIN_SQL,
         "anti_join": _ANTI_JOIN_SQL,
@@ -2012,7 +2202,6 @@ def oracle_sql() -> dict[str, str]:
         "window_lag_lead": _WINDOW_LAG_LEAD_SQL,
         "agg_grouping_sets": _GROUPING_SETS_SQL,
         "distinct_agg": _DISTINCT_AGG_SQL,
-        "topk_global": _TOPK_GLOBAL_SQL,
         "set_ops": _SET_OPS_SQL,
         "string_funcs": _STRING_FUNCS_SQL,
         "json_extract": _JSON_EXTRACT_SQL,
@@ -2042,7 +2231,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_distribution": _SYNTH_KG_SQL["kg_degree_distribution"],
         "kg_triangle_count": _SYNTH_KG_SQL["kg_triangle_count"],
         "dedup_exact": _DEDUP_EXACT_SQL,
-        "dedup_tokenset": _DEDUP_TOKENSET_SQL,
         "dedup_cluster_assign": _DEDUP_CLUSTER_ASSIGN_SQL,
         # dedup_minhash_clusters: LSH-backed (approximate candidate
         # generation) — cluster parity vs exact pairs gated in pytest.
@@ -2055,4 +2243,21 @@ def oracle_sql() -> dict[str, str]:
         # measured in pytest (as are the retired dedup_simhash /
         # ann_ivf_top1 operators).
         "text_stats": _text_stats_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "dedup_paragraphs": _DEDUP_PARAGRAPHS_SQL,
+        "mixture_sample": _mixture_sample_sql(),
+    }
+
+
+def retired_oracles() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]]:
+    """Queries retired from the driver snapshot (registry budget ~50
+    rows) whose capability is exercised verbatim inside other green
+    registry rows — see the queries() docstring for the per-query
+    subsumption argument.  Each keeps its EXACT Spark-vs-DuckDB
+    comparison via tests/test_entry_queries.py, so retirement narrows
+    the driver-visible surface, never the verification surface."""
+    return {
+        "topk_global": (_topk_global, _TOPK_GLOBAL_SQL),
+        "join_left_outer": (_join_left_outer, _JOIN_LEFT_OUTER_SQL),
+        "dedup_tokenset": (_dedup_tokenset, _DEDUP_TOKENSET_SQL),
     }

@@ -177,7 +177,10 @@ def main() -> None:
         .select(F.pandas_udf(lambda s: s + 1, "long")(F.col("x")))
     )
 
-    qs = entrymod.queries()
+    # retired-from-snapshot queries stay benchable (round-over-round
+    # comparability: dedup_tokenset has a BENCH row since r1)
+    qs = dict(entrymod.queries())
+    qs.update({n: fn for n, (fn, _sql) in entrymod.retired_oracles().items()})
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = _best_of(lambda: _force(qs[name](spark, sf_dir)))

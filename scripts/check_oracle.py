@@ -59,6 +59,12 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
 def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
+    return compare_pair(q, sql, spark, con, sf_dir)
+
+
+def compare_pair(q, sql, spark, con, sf_dir: str) -> tuple[bool, str]:
+    """Compare one (Spark callable, DuckDB SQL) pair — used both for
+    registered queries and for retired_oracles() pytest gates."""
     sdf = q(spark, sf_dir).toPandas()
     if sql is None:
         return True, f"rows-only: {len(sdf)} rows"

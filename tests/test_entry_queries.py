@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
-from scripts.check_oracle import compare, duck_con
+from scripts.check_oracle import compare, compare_pair, duck_con
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -22,6 +22,16 @@ def con():
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_matches_oracle(name, spark, con):
     ok, msg = compare(name, spark, con, SF_DIR)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.retired_oracles()))
+def test_retired_query_matches_oracle(name, spark, con):
+    """Queries retired from the driver snapshot (registry budget)
+    keep their exact DuckDB comparison here — retirement narrows the
+    driver-visible surface, never the verification surface."""
+    fn, sql = entrymod.retired_oracles()[name]
+    ok, msg = compare_pair(fn, sql, spark, con, SF_DIR)
     assert ok, f"{name}: {msg}"
 
 
