@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "ann_cosine_top1",
     "ann_lsh_top1",
     "text_stats",
+    "pii_scrub",
+    "dedup_paragraphs",
+    "mixture_sample",
     "corpus_pack_sequences",
     # uncapped on the full documents table: the eval-set n-gram side is
     # broadcast, so this measures the corpus-side single-projection scan
