@@ -1909,8 +1909,11 @@ def _pii_scrub(spark, sf):
     docs = _t(spark, sf, "documents")
     seeded = docs.select(
         "doc_id",
+        # coalesce so a NULL-text doc still gets its seeded PII on
+        # BOTH engines (Spark concat propagates NULL, DuckDB concat
+        # skips NULL arguments — without this the twins diverge)
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com via 10.0."),
@@ -1933,7 +1936,7 @@ def _pii_scrub_sql() -> str:
     sql = """
 WITH s AS (
   SELECT doc_id,
-         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+         concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR),
                 '@example.com via 10.0.', CAST(doc_id % 256 AS VARCHAR),
                 '.7 or +1 (555) 010-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
   FROM documents

@@ -422,12 +422,17 @@ def _keeper_flag(
     a single task.  The join back carries one row per DISTINCT hash
     on the build side."""
     key = F.struct(*[F.col(c) for c in order_cols])
+    # keeper-side outputs use reserved __names so the join never
+    # collides with caller columns — dedup_turn_texts promises "all
+    # input columns pass through", and re-applying the operator to
+    # its own output (which already carries n_copies/is_first) must
+    # overwrite, not raise AMBIGUOUS_REFERENCE
     keepers = (
         segs.filter(F.col(hash_col).isNotNull())
         .groupBy(hash_col)
         .agg(
             F.min(key).alias("__keeper"),
-            F.count(F.lit(1)).alias("n_copies"),
+            F.count(F.lit(1)).alias("__n_copies"),
         )
     )
     return (
@@ -436,8 +441,8 @@ def _keeper_flag(
             "is_first",
             F.col(hash_col).isNull() | (key == F.col("__keeper")),
         )
-        .withColumn("n_copies", F.coalesce(F.col("n_copies"), F.lit(1)))
-        .drop("__keeper")
+        .withColumn("n_copies", F.coalesce(F.col("__n_copies"), F.lit(1)))
+        .drop("__keeper", "__n_copies")
     )
 
 
@@ -462,12 +467,14 @@ def dedup_paragraphs(
     never dedup candidates (they are kept verbatim) — otherwise every
     empty segment in the corpus would collapse into one.
 
-    Three shuffles total, all on narrow keys: hash-groupBy on the
-    16-byte paragraph digest (partial agg — see ``_keeper_flag`` for
-    why this beats a window under boilerplate skew), the join back on
-    the digest, and the per-doc reassembly groupBy on ``id_col``.
-    Paragraph text rides only explode → reassemble; nothing
-    variable-width crosses the hash shuffle twice."""
+    All shuffles ride narrow keys: hash-groupBy on the 16-byte
+    paragraph digest (partial agg — see ``_keeper_flag`` for why this
+    beats a window under boilerplate skew), the join back on the
+    digest, the per-doc reassembly groupBy on ``id_col``, and a final
+    ``(id, had_text boolean)`` re-join that restores NULL-text rows —
+    one boolean per doc, never the text itself.  Paragraph text rides
+    only explode → reassemble; nothing variable-width crosses the
+    hash shuffle twice."""
     para = F.trim(F.col("__para"))
     segs = (
         docs.select(
@@ -502,27 +509,26 @@ def dedup_paragraphs(
     )
     # re-join the original frame so NULL-text docs (whose segments a
     # posexplode over NULL would drop — hence the coalesce above)
-    # come back as NULL output rather than empty string
+    # come back as NULL output rather than empty string; only a
+    # boolean rides this join — shipping the text itself would add a
+    # fourth full-corpus-text shuffle the docstring's shuffle budget
+    # (and the scaling benchmark) doesn't pay for
+    had_text = F.col("__had_text")
     return (
-        docs.select(id_col, F.col(text_col).alias("__orig"))
+        docs.select(id_col, F.col(text_col).isNotNull().alias("__had_text"))
         .join(assembled, id_col, "left")
         .select(
             id_col,
-            F.when(F.col("__orig").isNotNull(), F.col("text_dedup")).alias(
-                "text_dedup"
-            ),
-            F.when(F.col("__orig").isNotNull(), F.col("n_paras"))
+            F.when(had_text, F.col("text_dedup")).alias("text_dedup"),
+            F.when(had_text, F.col("n_paras"))
             .otherwise(F.lit(0))
             .cast("int")
             .alias("n_paras"),
-            F.when(F.col("__orig").isNotNull(), F.col("n_kept"))
+            F.when(had_text, F.col("n_kept"))
             .otherwise(F.lit(0))
             .cast("int")
             .alias("n_kept"),
-            F.when(
-                F.col("__orig").isNotNull(),
-                F.col("n_paras") - F.col("n_kept"),
-            )
+            F.when(had_text, F.col("n_paras") - F.col("n_kept"))
             .otherwise(F.lit(0))
             .cast("int")
             .alias("n_dropped"),

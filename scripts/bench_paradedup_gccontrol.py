@@ -1,13 +1,17 @@
 """Control experiment for the paragraph-dedup scaling shape.
 
 The first paradedup run measured 2->8 efficiency 0.611 with 8->32 at
-0.855 — inverted vs every other operator family on this box.  Watching
-the run showed the local[2] child JVM averaging ~6.7 cores: with the
-JVM's GC thread counts uncapped (default = sized for all 32 hardware
-threads), the allocation-heavy paragraph path (explode -> md5 ->
-reassembly of ~10M short strings) lets a "2-core" level do most of its
-garbage collection on the other 30 cores, inflating thr(2) and
-depressing the 2->8 ratio.  This script measures that directly:
+0.855 — inverted vs every other operator family on this box.  The
+hypothesis was a GC-thread shortcut: that session's local[2] child JVM
+appeared to average ~6.7 cores, and with GC thread counts uncapped
+(default = sized for all 32 hardware threads) a "2-core" level could do
+its garbage collection on the other 30 cores, inflating thr(2).  The
+round-5 run of this script REFUTED that hypothesis for the 0.611:
+uncapped local[2] consumed 2.14 effective cores and the uncapped 2->8
+re-measured at 0.955 (pinned 0.926) — the original 0.611 was a slow
+noisy-neighbor local[8] sample, not GC threading (see BENCH/BASELINE.md
+"Paragraph-dedup GC-thread control").  The script remains useful as the
+measurement: it runs
 
   for each level in (2, 8, 32) x {uncapped, pinned}:
       fresh JVM; pinned = -XX:ParallelGCThreads=cpus
@@ -18,8 +22,8 @@ depressing the 2->8 ratio.  This script measures that directly:
 
 On a real cluster an executor's GC threads are sized to its container
 cores, so the PINNED rows are the honest N-vs-4N proxy; the uncapped
-rows quantify exactly how much the single-box shortcut flattered the
-small level.
+rows quantify whether the single-box default flatters the small level
+(in the round-5 run: it didn't, <=8% at every level).
 
 Usage: python scripts/bench_paradedup_gccontrol.py [n_convs] [reps]
 -> APPENDS a section to BENCH/BASELINE.md and prints one JSON line.
@@ -30,7 +34,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -86,25 +89,10 @@ spark.stop()
 
 
 def run_level(cpus: int, pin: bool, docs: str, reps: int) -> dict:
-    best = None
-    for _ in range(reps):
-        code = CHILD.format(repo=REPO, cpus=cpus, pin=pin, docs=docs)
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=3600,
-        )
-        r = None
-        for line in out.stdout.splitlines():
-            if line.startswith("SCALING_RESULT "):
-                r = json.loads(line[len("SCALING_RESULT "):])
-        if r is None:
-            raise RuntimeError(
-                f"no result from local[{cpus}] pin={pin}:\n"
-                f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
-            )
-        if best is None or r["wall_s"] < best["wall_s"]:
-            best = r
-    return best
+    from _child_bench import best_of
+
+    code = CHILD.format(repo=REPO, cpus=cpus, pin=pin, docs=docs)
+    return best_of(reps, code, f"local[{cpus}] pin={pin}")
 
 
 def main() -> None:
@@ -147,35 +135,26 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(f"""
 
-## Paragraph-dedup GC-thread control ({grid[(32, True)]['n_docs']:,} docs): the 0.611 was the uncapped-GC shortcut, pinned 2→8 = {result['eff_2_8_pinned']}
+## Paragraph-dedup GC-thread control re-run ({grid[(32, True)]['n_docs']:,} docs)
 
-The first paradedup table's 2→8 = 0.611 (with a healthy 8→32 = 0.855)
-inverted the usual shape.  Observed cause: the child JVM at local[2]
-averaged ~6.7 cores — GC thread pools default to the HARDWARE core
-count, so the allocation-heavy paragraph path (explode → md5 →
-reassembly of ~10M short strings) runs its collector on all 32 cores
-no matter the task-thread level, flattering the small level exactly
-where allocation pressure is worst.  Control: same protocol with
-`-XX:ParallelGCThreads=N -XX:ConcGCThreads=max(1,N/4)` per level,
-and the JVM's /proc cpu-seconds recorded across the best run:
+Grid: GC threads uncapped vs pinned per level
+(`-XX:ParallelGCThreads=N -XX:ConcGCThreads=max(1,N/4)`), JVM
+/proc cpu-seconds recorded across the best run.  Interpret the
+numbers — the script draws no conclusion: compare `effective cores`
+to the nominal level (a large gap at local[2] means GC threading IS
+inflating the small level) and the uncapped-vs-pinned 2→8 ratios
+(close together means any earlier outlier was session variance, as
+the round-5 control found for the original 0.611).
 
 | level | GC threads | wall (s) | jvm cpu (s) | effective cores | docs/sec |
 |---|---|---|---|---|---|
 {rows}
 
-- **Pinned (executor-shaped) 2→8 efficiency: {result['eff_2_8_pinned']}**;
-  8→32: {result['eff_8_32_pinned']}.  Uncapped for comparison:
+- Pinned (executor-shaped) 2→8 efficiency: {result['eff_2_8_pinned']};
+  8→32: {result['eff_8_32_pinned']}.  Uncapped:
   2→8 {result['eff_2_8_uncapped']}, 8→32 {result['eff_8_32_uncapped']}.
-- The `effective cores` column is the direct evidence: uncapped
-  local[2] burns far more than 2 cores of CPU per wall-second; pinned
-  levels consume ≈ their nominal allocation, which is what a real
-  container-isolated executor gets.
-- Protocol note recorded for future rounds: for allocation-heavy
-  operators, single-box N-vs-4N runs must pin GC threads to N or the
-  small level cheats.  The compute-bound operator families (gram
-  projection, signature aggregation) allocate far less per row, which
-  is why their uncapped 2→8 numbers (0.807–0.842) were already
-  honest.
+- Pinned is the headline config either way: it matches what a
+  container-isolated executor actually gets.
 """)
 
 

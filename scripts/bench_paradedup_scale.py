@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -49,8 +48,13 @@ for _ in range(2):  # min-of-2 inside the warm JVM
     t0 = time.monotonic()
     dedup_paragraphs(docs).write.format("noop").mode("overwrite").save()
     best = min(best, time.monotonic() - t0)
+# paragraph count via one cheap projection — re-running the full
+# 3-shuffle dedup job just to sum a column would add an untimed
+# ~wall-sized Spark job per level
 n_paras = int(
-    dedup_paragraphs(docs).agg(F.sum("n_paras")).collect()[0][0]
+    docs.agg(
+        F.sum(F.size(F.split(F.coalesce(F.col("text"), F.lit("")), r"\n{{2,}}")))
+    ).collect()[0][0]
 )
 print("SCALING_RESULT " + json.dumps({{
     "cpus": cpus, "wall_s": round(best, 2), "n_docs": n_docs,
@@ -62,25 +66,10 @@ spark.stop()
 
 
 def run_level(cpus: int, docs: str, reps: int) -> dict:
-    best = None
-    for _ in range(reps):
-        code = CHILD.format(repo=REPO, cpus=cpus, docs=docs)
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=3600,
-        )
-        r = None
-        for line in out.stdout.splitlines():
-            if line.startswith("SCALING_RESULT "):
-                r = json.loads(line[len("SCALING_RESULT "):])
-        if r is None:
-            raise RuntimeError(
-                f"no result from local[{cpus}]:\n"
-                f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
-            )
-        if best is None or r["wall_s"] < best["wall_s"]:
-            best = r
-    return best
+    from _child_bench import best_of
+
+    code = CHILD.format(repo=REPO, cpus=cpus, docs=docs)
+    return best_of(reps, code, f"local[{cpus}]")
 
 
 def main() -> None:

@@ -459,7 +459,7 @@ def _para_twin(rows, sep=r"\n{2,}", joiner="\n\n", min_chars=1):
             segs.append((doc_id, idx, p))
     keeper = {}
     for doc_id, idx, p in segs:
-        t = p.strip()
+        t = p.strip(" ")  # F.trim strips ASCII space only — mirror it
         if len(t) < min_chars:
             continue
         if t not in keeper or (doc_id, idx) < keeper[t]:
@@ -472,7 +472,7 @@ def _para_twin(rows, sep=r"\n{2,}", joiner="\n\n", min_chars=1):
         paras = re.split(sep, text)
         kept = []
         for idx, p in enumerate(paras):
-            t = p.strip()
+            t = p.strip(" ")
             if len(t) < min_chars or keeper[t] == (doc_id, idx):
                 kept.append(p)
         out[doc_id] = (joiner.join(kept), len(paras), len(kept), len(paras) - len(kept))
@@ -555,18 +555,34 @@ def test_dedup_turn_texts_matches_python_twin(spark):
     )
     first, copies = {}, {}
     for conv_id, turn_idx, text in rows:
-        t = (text or "").strip()
+        t = (text or "").strip(" ")
         if not t:
             continue
         copies[t] = copies.get(t, 0) + 1
         first.setdefault(t, (conv_id, turn_idx))
     for r in got:
-        t = (r.text or "").strip()
+        t = (r.text or "").strip(" ")
         if not t:
             assert r.is_first and r.n_copies == 1
             continue
         assert r.is_first == (first[t] == (r.conv_id, r.turn_idx)), (r.conv_id, r.turn_idx)
         assert r.n_copies == copies[t]
-    kept = [(r.text or "").strip() for r in got if r.is_first and (r.text or "").strip()]
+    kept = [(r.text or "").strip(" ") for r in got if r.is_first and (r.text or "").strip(" ")]
     assert len(kept) == len(set(kept)) == len(first)
     assert len(got) == len(rows)  # pass-through: no rows lost or added
+
+
+def test_dedup_turn_texts_reapplicable(spark):
+    """Running the operator on its own output must overwrite
+    is_first/n_copies instead of raising AMBIGUOUS_REFERENCE — the
+    docstring promises all input columns pass through, so a frame
+    that already carries the flag columns is a natural input."""
+    from lexicator_spark import synth
+
+    corpus = synth.make_corpus(n_convs=10, seed=5)
+    turns = synth.corpus_df(spark, corpus)
+    once = D.dedup_turn_texts(turns)
+    twice = D.dedup_turn_texts(once)
+    a = {(r.conv_id, r.turn_idx): (r.is_first, r.n_copies) for r in once.collect()}
+    b = {(r.conv_id, r.turn_idx): (r.is_first, r.n_copies) for r in twice.collect()}
+    assert a == b  # idempotent on the flag columns
