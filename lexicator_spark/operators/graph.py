@@ -219,8 +219,23 @@ def negative_samples(
     h = F.conv(
         F.substring(F.md5(F.concat_ws("|", "subj", "pred", "obj")), 1, 8), 16, 10
     ).cast("bigint")
+    # left join + raise, not an inner join: a caller-supplied vocab
+    # that is missing an obj (stale dictionary after the corpus grew)
+    # must fail loudly — an inner join would silently drop every
+    # positive triple with that obj and break the documented
+    # "exactly n_negatives × |triples| rows" contract
     with_idx = triples.join(
-        vocab.select(F.col("entity").alias("obj"), "idx"), "obj"
+        vocab.select(F.col("entity").alias("obj"), "idx"), "obj", "left"
+    ).withColumn(
+        "idx",
+        F.when(F.col("idx").isNotNull(), F.col("idx")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("negative_samples: obj absent from vocab: "),
+                    F.col("obj"),
+                )
+            )
+        ),
     ).select(
         "subj",
         "pred",

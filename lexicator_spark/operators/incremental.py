@@ -141,8 +141,11 @@ def refresh_from_feed(
         )
     changed = (
         change_feed.select("conv_id")
-        # a NULL conv_id names nothing: hashing it yields a NULL
-        # bucket that would poison the pruning lists downstream
+        # a NULL conv_id names nothing — drop it.  (Note xxhash64(NULL)
+        # is NOT NULL: it folds to the seed, i.e. one constant bucket —
+        # the same constant plans/refresh._null_bucket relies on — so
+        # without this filter a NULL feed row would needlessly drag
+        # that whole bucket into every refresh.)
         .filter(F.col("conv_id").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
@@ -164,7 +167,7 @@ def refresh_from_feed(
     )
     return refresh_triples_partitioned(
         spark, turns, stage_location, impl=impl, n_buckets=n_buckets,
-        change_feed=changed,
+        change_feed=changed, _feed_normalized=True,
     )
 
 
@@ -451,9 +454,14 @@ def refresh_triples_partitioned(
     impl: str = "native",
     n_buckets: int | None = None,
     change_feed: DataFrame | None = None,
+    _feed_normalized: bool = False,
 ) -> RefreshResult:
     """Idempotent in-place refresh of a persisted Stage-A table: the
     parquet stand-in for Iceberg ``MERGE INTO`` (SURVEY.md §2 #2/#10).
+    (``_feed_normalized`` is internal — ``refresh_from_feed`` passes a
+    feed it already null-filtered, distinct-ed and checkpointed, so
+    repeating that normalization here would cost a second eager
+    materialization per refresh tick.)
 
     ``change_feed`` — a DataFrame with a ``conv_id`` column naming the
     conversations known to have changed — is the RecentChanges analog
@@ -469,7 +477,13 @@ def refresh_triples_partitioned(
     idempotent (their buckets rewrite to identical contents); a
     changed conversation MISSING from the feed stays stale until a
     feed mentions it or a detection-mode refresh runs — same contract
-    as polling RecentChanges.  Without a feed (default), changes are
+    as polling RecentChanges.  A fed conversation with NO rows in the
+    ``turns`` snapshot is treated as a DELETION: its triples and its
+    frontier row are removed (this is how the remove-conversation
+    path works, tested in tests/test_refresh_e2e.py) — so feeds must
+    be emitted only after the corresponding raw-table upsert has
+    landed, or a transiently-missing conversation will be dropped and
+    stay gone until a later feed re-lists it.  Without a feed (default), changes are
     detected from the snapshot as below.  The one-time frontier
     bootstrap always runs in detection mode (it must see the full
     corpus once).
@@ -524,10 +538,13 @@ def refresh_triples_partitioned(
     if change_feed is not None and not bootstrap:
         # RecentChanges proper: the feed IS the changed set — no
         # snapshot-wide detection aggregate, no full frontier read.
-        # NULL feed rows name nothing (and would hash to a NULL
-        # bucket, breaking the touched-bucket list): dropped.
+        # NULL feed rows name nothing: dropped.  (xxhash64(NULL) is
+        # the constant seed bucket, not NULL — they wouldn't break
+        # the touched list, just drag one bucket in for no reason.)
         changed = (
-            change_feed.select("conv_id")
+            change_feed
+            if _feed_normalized
+            else change_feed.select("conv_id")
             .filter(F.col("conv_id").isNotNull())
             .distinct()
             .localCheckpoint(eager=True)

@@ -81,9 +81,23 @@ def _lineage_flushed(spark: SparkSession, root: str) -> set[str]:
     resume backfill exactly the missing stages from their marker JSONs
     without duplicating rows on later no-op resumes."""
     path = _lineage_flushed_path(root)
-    if not fsutil.exists(spark, path):
-        return set()
-    return set(json.loads(fsutil.read_text(spark, path))["stages"])
+    if fsutil.exists(spark, path):
+        return set(json.loads(fsutil.read_text(spark, path))["stages"])
+    lineage_path = os.path.join(root, "_lineage")
+    if fsutil.exists(spark, lineage_path):
+        # legacy root: built before this marker existed, but its
+        # lineage WAS written end-of-run — treat the stages already
+        # present as flushed, or every no-op resume would re-append
+        # (duplicate) each stage's rows.  Bounded collect: one row
+        # per distinct stage name.
+        return {
+            r.stage
+            for r in spark.read.parquet(lineage_path)
+            .select("stage")
+            .distinct()
+            .collect()
+        }
+    return set()
 
 
 def _mark_lineage_flushed(spark: SparkSession, root: str, stages: set[str]) -> None:
@@ -291,6 +305,13 @@ def run_pipeline(
     ):
         from lexicator_spark.operators.incremental import backfill_triples
 
+        if not resume:
+            # resume=False means rebuild: a completed (or partial)
+            # _backfill.json from a prior run would otherwise make
+            # backfill_triples find zero pending groups and silently
+            # keep the STALE stage table while we mark extract done
+            fsutil.delete(spark, raw_path, recursive=True)
+
         t0 = time.monotonic()
         backfill_triples(
             spark,
@@ -333,10 +354,16 @@ def run_pipeline(
     # first --refresh is delta-scoped instead of paying the detection
     # bootstrap (374.9 s vs one aggregate pass at 29.3M turns,
     # BENCH/BASELINE.md).  No-op when _frontier already exists (a
-    # refreshed table maintains its own).
+    # refreshed table maintains its own).  Only when extraction RAN
+    # this invocation: on a marker-skipped resume the current turns
+    # snapshot may be newer than what the table holds, and stamping
+    # it as processed would hide its unextracted conversations from
+    # every future refresh (the refresh bootstrap derives a frontier
+    # from the triples table instead, which is always safe).
     from lexicator_spark.operators.incremental import materialize_frontier
 
-    materialize_frontier(spark, turns, raw_path, n_buckets=n_buckets)
+    if "extract" in run:
+        materialize_frontier(spark, turns, raw_path, n_buckets=n_buckets)
 
     # likewise materialize the per-bucket surface-universe stats
     # (_surface_stats) the end-to-end refresh maintains — one

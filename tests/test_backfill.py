@@ -206,3 +206,65 @@ def test_backfill_first_group_crash_resumes(spark, tmp_path):
     with pytest.raises(ValueError, match="max_groups_per_call"):
         backfill_triples(spark, turns, str(tmp_path / "x"),
                          max_groups_per_call=0)
+
+
+def test_pipeline_backfill_no_resume_rebuilds(spark, tmp_path):
+    """resume=False with backfill_groups must rebuild from the new
+    corpus: a completed _backfill.json from a prior run previously
+    made backfill_triples find zero pending groups and silently keep
+    the STALE Stage-A table while extract was marked done."""
+    from lexicator_spark.plans.pipeline import run_pipeline
+
+    turns_a = _mk_turns(spark, n=20, seed=1)
+    turns_b = _mk_turns(spark, n=20, seed=2)
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, turns_a, out, resume=True, backfill_groups=2,
+                 n_buckets=4)
+    run_pipeline(spark, turns_b, out, resume=False, backfill_groups=2,
+                 n_buckets=4)
+    expect, _ = split_rejects(extract_triples(turns_b))
+    got = sio.read_table(spark, os.path.join(out, "triples_raw"))
+    assert _tset(got) == _tset(expect)
+
+
+def test_resume_skip_does_not_stamp_frontier(spark, tmp_path):
+    """A marker-skipped resume must NOT materialize a frontier from
+    the CURRENT turns snapshot: on a legacy root (no _frontier) with a
+    newer snapshot, stamping would record never-extracted
+    conversations as processed — their triples would then be missing
+    from every future refresh with no error."""
+    import shutil
+
+    from lexicator_spark.plans.pipeline import run_pipeline
+
+    turns = _mk_turns(spark, n=15, seed=3)
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, turns, out, resume=True, n_buckets=4)
+    floc = os.path.join(out, "triples_raw", "_frontier")
+    shutil.rmtree(floc)  # simulate a root built before frontiers existed
+    newer = _mk_turns(spark, n=25, seed=3)
+    res = run_pipeline(spark, newer, out, resume=True, n_buckets=4)
+    assert res.stages_run == []
+    assert not os.path.exists(floc)  # refresh bootstrap handles it safely
+
+
+def test_legacy_lineage_not_duplicated_on_resume(spark, tmp_path):
+    """A root whose lineage was written before _lineage_flushed.json
+    existed must not get every stage's rows re-appended on a no-op
+    resume: the flushed set falls back to the stages already present
+    in _lineage."""
+    from lexicator_spark.plans.pipeline import run_pipeline
+
+    turns = _mk_turns(spark, n=10, seed=4)
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, turns, out, resume=True, n_buckets=4)
+    os.remove(os.path.join(out, "_checkpoints", "_lineage_flushed.json"))
+    run_pipeline(spark, turns, out, resume=True, n_buckets=4)
+    stage_rows = (
+        spark.read.parquet(os.path.join(out, "_lineage"))
+        .filter(F.col("partition_id") == -1)
+        .groupBy("stage")
+        .count()
+        .collect()
+    )
+    assert stage_rows and all(r["count"] == 1 for r in stage_rows)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import itertools
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from lexicator_spark.operators import graph as G
@@ -288,3 +289,17 @@ def test_negative_samples_precomputed_vocab_and_guards(spark):
     one = spark.createDataFrame([("s", "p", "a")], "subj string, pred string, obj string")
     with pytest.raises(ValueError):
         G.negative_samples(one)
+
+
+def test_negative_samples_vocab_missing_obj_raises(spark):
+    """A caller-supplied vocab missing an obj must fail loudly — an
+    inner join would silently drop that obj's positive triples and
+    break the n_negatives x |triples| output contract."""
+    triples = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y")], "subj string, pred string, obj string"
+    )
+    vocab = spark.createDataFrame(
+        [("x", 0), ("z", 1)], "entity string, idx int"
+    )
+    with pytest.raises(Exception, match="absent from vocab"):
+        G.negative_samples(triples, vocab=vocab).collect()
