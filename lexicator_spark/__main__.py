@@ -133,9 +133,19 @@ def main(argv: list[str] | None = None) -> int:
 
         from lexicator_spark.operators.compact import compact_stream_epochs
 
-        res = compact_stream_epochs(
-            spark, args.input, os.path.join(args.out, "triples_raw")
-        )
+        raw_path = os.path.join(args.out, "triples_raw")
+        res = compact_stream_epochs(spark, args.input, raw_path)
+        if res.n_buckets_touched:
+            # keep the extract marker's per-bucket counts current:
+            # refresh_pipeline's O(delta) lineage merges against them
+            from lexicator_spark.plans.refresh import (
+                update_stage_bucket_counts,
+            )
+
+            update_stage_bucket_counts(
+                spark, args.out, "extract", raw_path,
+                list(res.touched_buckets),
+            )
         print(
             json.dumps(
                 {
@@ -386,10 +396,18 @@ def main(argv: list[str] | None = None) -> int:
                 # and the stats table must record the universe that
                 # sync saw — plans/refresh.py consistency contract)
                 from lexicator_spark.plans.refresh import (
+                    update_stage_bucket_counts,
                     update_surface_stats,
                 )
 
                 update_surface_stats(spark, args.out, list(res.touched_buckets))
+                # keep the extract marker's per-bucket counts current
+                # too: refresh_pipeline's O(delta) lineage merges
+                # against them (plans/refresh._delta_bucket_counts)
+                update_stage_bucket_counts(
+                    spark, args.out, "extract", raw_path,
+                    list(res.touched_buckets),
+                )
                 # downstream stages derive from the refreshed raw
                 # table: drop their checkpoints so run_pipeline
                 # recomputes them, keep extract's (the refresh IS the

@@ -68,6 +68,11 @@ class CompactResult(NamedTuple):
     n_rows: int
     n_buckets_touched: int
     max_epoch: int | None
+    # which serving-table buckets were rewritten — callers maintaining
+    # per-bucket bookkeeping (e.g. the pipeline marker counts the
+    # O(delta) refresh lineage merges against) need the list, not
+    # just its length
+    touched_buckets: tuple = ()
 
 
 def _marker_path(stream_out: str) -> str:
@@ -183,4 +188,6 @@ def compact_stream_epochs(
         fsutil.delete(
             spark, os.path.join(stream_out, f"epoch_id={e}"), recursive=True
         )
-    return CompactResult(len(fresh), n_new, len(touched), max(fresh))
+    return CompactResult(
+        len(fresh), n_new, len(touched), max(fresh), tuple(sorted(touched))
+    )

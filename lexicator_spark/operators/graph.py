@@ -213,9 +213,25 @@ def negative_samples(
                 (F.row_number().over(Window.orderBy("entity")) - 1).alias("idx"),
             )
         )
-    n = vocab.count()
+    # one aggregate pass validates the ring arithmetic's precondition:
+    # idx must be DENSE 0..n-1, or the second join (neg_idx → entity)
+    # silently drops output rows for the missing indices — the same
+    # silent contract break the obj-side guard below exists to prevent
+    st = vocab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("idx").alias("nd"),
+        F.min("idx").alias("lo"),
+        F.max("idx").alias("hi"),
+    ).first()
+    n = st["n"]
     if n < 2:
         raise ValueError(f"need >= 2 distinct entities to corrupt, got {n}")
+    if not (st["nd"] == n and st["lo"] == 0 and st["hi"] == n - 1):
+        raise ValueError(
+            "negative_samples: vocab idx must be dense 0..n-1 "
+            f"(n={n}, distinct={st['nd']}, min={st['lo']}, max={st['hi']}) "
+            "— re-index the vocabulary after entity deletions"
+        )
     h = F.conv(
         F.substring(F.md5(F.concat_ws("|", "subj", "pred", "obj")), 1, 8), 16, 10
     ).cast("bigint")
@@ -232,7 +248,9 @@ def negative_samples(
             F.raise_error(
                 F.concat(
                     F.lit("negative_samples: obj absent from vocab: "),
-                    F.col("obj"),
+                    # coalesce: concat with a NULL obj would NULL the
+                    # whole message and the job would die nameless
+                    F.coalesce(F.col("obj"), F.lit("<NULL>")),
                 )
             )
         ),

@@ -90,13 +90,20 @@ def _lineage_flushed(spark: SparkSession, root: str) -> set[str]:
         # present as flushed, or every no-op resume would re-append
         # (duplicate) each stage's rows.  Bounded collect: one row
         # per distinct stage name.
-        return {
-            r.stage
-            for r in spark.read.parquet(lineage_path)
-            .select("stage")
-            .distinct()
-            .collect()
-        }
+        try:
+            return {
+                r.stage
+                for r in spark.read.parquet(lineage_path)
+                .select("stage")
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            # the directory exists but holds no committed parquet (a
+            # run died INSIDE the lineage write, leaving only
+            # _temporary/) — nothing was flushed; resume recovers
+            # from the stage markers exactly as before this fallback
+            return set()
     return set()
 
 
@@ -220,6 +227,10 @@ def run_pipeline(
     skipped: list[str] = []
 
     flushed = _lineage_flushed(spark, out_root) if resume else set()
+    if flushed and not fsutil.exists(spark, _lineage_flushed_path(out_root)):
+        # legacy root resolved via the _lineage fallback above: persist
+        # the marker now so later resumes don't re-pay the distinct scan
+        _mark_lineage_flushed(spark, out_root, flushed)
 
     def staged(name: str, in_df: DataFrame | None, fn, out_path: str, partition_key):
         if resume and _is_done(spark, out_root, name):
@@ -284,6 +295,22 @@ def run_pipeline(
     triples_path = os.path.join(out_root, "triples")
     entities_path = os.path.join(out_root, "entities")
 
+    if not resume:
+        # resume=False means REBUILD: clear every artifact a rebuild
+        # does not unconditionally overwrite, or it silently describes
+        # the previous corpus — the raw stage table (with its
+        # _frontier and any _backfill.json inside; a completed
+        # backfill marker would otherwise make the new backfill a
+        # no-op that keeps stale triples), the group-upserted rejects
+        # channel, and _surface_stats (ensure_surface_stats no-ops
+        # when it exists)
+        for stale in (
+            raw_path,
+            os.path.join(out_root, "rejects"),
+            os.path.join(out_root, "_surface_stats"),
+        ):
+            fsutil.delete(spark, stale, recursive=True)
+
     # Stage A — extraction.  The extracted frame feeds two writes
     # (rejects + good); persist for the stage's duration so the scan +
     # rule evaluation runs once, not once per sink.
@@ -304,13 +331,6 @@ def run_pipeline(
         resume and _is_done(spark, out_root, "extract")
     ):
         from lexicator_spark.operators.incremental import backfill_triples
-
-        if not resume:
-            # resume=False means rebuild: a completed (or partial)
-            # _backfill.json from a prior run would otherwise make
-            # backfill_triples find zero pending groups and silently
-            # keep the STALE stage table while we mark extract done
-            fsutil.delete(spark, raw_path, recursive=True)
 
         t0 = time.monotonic()
         backfill_triples(

@@ -153,9 +153,10 @@ per level, min-of-2 in-JVM after a warm-up, best of {reps} JVMs.
 
 Plan shape under measurement: explode → md5 → partial-agg keeper
 election (hot boilerplate hashes collapse map-side) → distinct-hash
-join back → per-doc reassembly groupBy.  Three shuffles, all on
-narrow keys (16-byte digest / doc id); paragraph text crosses the
-wire once each direction.
+join back → per-doc reassembly groupBy → NULL-restoring boolean
+re-join.  All shuffles ride narrow keys (16-byte digest / doc id /
+one boolean per doc); paragraph text crosses the wire once each
+direction.
 """)
 
 

@@ -273,8 +273,6 @@ def test_negative_samples_contract(spark):
 def test_negative_samples_precomputed_vocab_and_guards(spark):
     """A precomputed (entity, idx) dimension — the at-scale path —
     must be honored verbatim; degenerate vocabularies are rejected."""
-    import pytest
-
     triples = spark.createDataFrame(
         [("s1", "p", "a"), ("s2", "p", "b")],
         "subj string, pred string, obj string",
@@ -303,3 +301,17 @@ def test_negative_samples_vocab_missing_obj_raises(spark):
     )
     with pytest.raises(Exception, match="absent from vocab"):
         G.negative_samples(triples, vocab=vocab).collect()
+
+
+def test_negative_samples_sparse_vocab_idx_raises(spark):
+    """idx gaps (stale dictionary after an entity deletion) must be
+    rejected up front: the ring arithmetic assumes dense 0..n-1, and
+    the neg_idx join would otherwise silently drop output rows."""
+    triples = spark.createDataFrame(
+        [("s", "p", "x")], "subj string, pred string, obj string"
+    )
+    vocab = spark.createDataFrame(
+        [("x", 0), ("z", 2)], "entity string, idx int"
+    )
+    with pytest.raises(ValueError, match="dense"):
+        G.negative_samples(triples, vocab=vocab)
