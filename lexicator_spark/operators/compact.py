@@ -17,10 +17,14 @@ the file count and the freshness lag.
 
 Crash-safe at every boundary without a transaction log, because
 extraction is deterministic (``extracted_at`` is the turn's ``ts``,
-not a wall clock) and the merge is an exact-``distinct`` union:
+not a wall clock) and the merge anti-joins new rows against the rows
+already kept (null-safe, all columns):
 
 * crash after the bucket upsert but before the marker → the next run
-  re-merges the same rows; ``distinct`` makes that a content no-op;
+  re-presents the same epochs, whose rows all match rows already in
+  the table; the anti-join drops them and the merge is a content
+  no-op (while preserving the multiplicity of duplicate rows the
+  deterministic batch pipeline would also emit twice);
 * the ``_compacted.json`` marker (max folded epoch id) is written only
   after the upsert; crash after the marker but before the directory
   deletes → the next run deletes the stale epoch dirs WITHOUT
@@ -158,6 +162,7 @@ def compact_stream_epochs(
     )
     n_new = new_rows.count()
 
+    new_clean = new_rows.drop("p_hash")
     if fsutil.exists(spark, sio._schema_sidecar(stage_location)):
         # partition-pruned: only the touched bucket directories of the
         # serving table are read (PartitionFilters on p_hash)
@@ -166,13 +171,31 @@ def compact_stream_epochs(
             .filter(F.col("p_hash").isin(touched))
             .drop("p_hash")
         )
-        replacement = kept.unionByName(new_rows.drop("p_hash"))
+        # Re-merge guard WITHOUT collapsing legitimate duplicates: a
+        # compaction that crashed after its upsert but before its
+        # marker re-presents already-folded epochs, whose rows are
+        # exact copies of rows already in `kept` — drop exactly those
+        # via a null-safe all-column anti-join.  Unlike a blanket
+        # distinct() over the union (which made row multiplicity
+        # compaction-history-dependent), this preserves kept-row
+        # multiplicity and within-batch duplicates: a raw turn
+        # ingested twice extracts to two identical triples in the
+        # batch pipeline, and the compacted table must match it
+        # row-for-row.  Epoch retries never duplicate within new_rows
+        # (the stream sink rewrites its epoch dir with dynamic
+        # partition overwrite).  Residual ambiguity: an exact-duplicate
+        # pair split across a folded and a fresh epoch collapses to
+        # one — indistinguishable from a re-merge without per-row
+        # provenance.
+        n = new_clean.alias("n")
+        k = kept.alias("k")
+        same_row = None
+        for c in new_clean.columns:
+            eq = F.col(f"n.`{c}`").eqNullSafe(F.col(f"k.`{c}`"))
+            same_row = eq if same_row is None else (same_row & eq)
+        replacement = kept.unionByName(n.join(k, same_row, "left_anti"))
     else:
-        replacement = new_rows.drop("p_hash")
-    # exact-row distinct: a re-merge after a pre-marker crash, or a
-    # stream retry overlapping a batch backfill, contributes identical
-    # rows (deterministic extraction) and collapses to a no-op
-    replacement = replacement.distinct()
+        replacement = new_clean
 
     sio.upsert_partitions(
         replacement,

@@ -139,6 +139,18 @@ def refresh_from_feed(
             "(no _buckets.json): feed-scoped pruning needs "
             "sio.write_table's conv_id bucketing"
         )
+    if t_meta["partition_key"] != "conv_id":
+        # pruning here is load-bearing for CORRECTNESS, not just speed:
+        # the fed conversations' rows must be inside the pruned buckets
+        # or the refresh sees them as absent and DELETES their triples
+        # (removed-conversation semantics)
+        raise ValueError(
+            f"turns table at {turns_location} is bucketed on "
+            f"{t_meta['partition_key']} (_buckets.json), not conv_id: "
+            "feed-scoped pruning would miss the fed conversations and "
+            "delete their triples; rebucket on conv_id or use "
+            "refresh_triples_partitioned with the full snapshot"
+        )
     changed = (
         change_feed.select("conv_id")
         # a NULL conv_id names nothing — drop it.  (Note xxhash64(NULL)
@@ -321,7 +333,15 @@ def backfill_triples(
                 "_buckets.json): pass a DataFrame for unbucketed input"
             )
         raw_n = t_meta["n_buckets"]
-        if raw_n % n_buckets == 0:
+        if t_meta["partition_key"] != "conv_id":
+            # bucketed, but on some other key: the bucket→group map
+            # below assumes p_hash = hash(conv_id) mod raw_n, so
+            # pruning would route most rows to a group whose conv_id
+            # filter then discards them.  Fall back to the unpruned
+            # path (exact conv_id group filter over the full scan) —
+            # correct for any layout, just without partition pruning.
+            raw_n = None
+        if raw_n is not None and raw_n % n_buckets == 0:
             # raw bucket determines stage bucket (h mod raw_n mod
             # stage_n == h mod stage_n when stage_n | raw_n) → exact
             # partition pruning per group

@@ -308,6 +308,16 @@ def run_pipeline(
             raw_path,
             os.path.join(out_root, "rejects"),
             os.path.join(out_root, "_surface_stats"),
+            # stage markers + lineage too: a rebuild that crashes
+            # mid-run must not let a later resume=True skip downstream
+            # stages on the strength of the PREVIOUS corpus's markers
+            # (mixed-corpus serving), and append-mode _lineage would
+            # keep the old corpus's rows next to the new ones
+            # (double-counted stage totals).  _checkpoints also holds
+            # _lineage_flushed.json, whose stale 'extract' entry would
+            # suppress the crashed rebuild's lineage backfill.
+            os.path.join(out_root, "_checkpoints"),
+            os.path.join(out_root, "_lineage"),
         ):
             fsutil.delete(spark, stale, recursive=True)
 

@@ -268,3 +268,47 @@ def test_legacy_lineage_not_duplicated_on_resume(spark, tmp_path):
         .collect()
     )
     assert stage_rows and all(r["count"] == 1 for r in stage_rows)
+
+
+def test_backfill_non_conv_id_bucketed_falls_back_unpruned(spark, tmp_path):
+    """A location bucketed on some OTHER key must not take the pruned
+    path: its p_hash is not hash(conv_id) mod raw_n, so the
+    bucket→group map would route most rows to a group whose conv_id
+    filter then discards them — silently, with the marker recording
+    every group done.  The fallback scans unpruned with the exact
+    conv_id group filter, which is correct for any layout."""
+    turns = _mk_turns(spark, n=40, seed=19)
+    good, _ = split_rejects(extract_triples(turns))
+    raw = str(tmp_path / "turns_by_tool")
+    # 16 % 8 == 0, so WITHOUT the key check this would take the
+    # (wrong) pruned path
+    sio.write_table(turns, raw, partition_key="tool", n_buckets=16)
+    loc = str(tmp_path / "stage")
+    res = backfill_triples(spark, raw, loc, n_buckets=8, n_groups=4)
+    assert res.complete and _tset(res.table) == _tset(good)
+
+
+def test_rebuild_clears_markers_and_lineage(spark, tmp_path):
+    """resume=False must clear _checkpoints and _lineage along with
+    the stage tables it rebuilds: stale markers would let a
+    crash-mid-rebuild-then-resume skip downstream stages on the
+    strength of the PREVIOUS corpus (mixed-corpus serving), and
+    append-mode lineage would keep the old corpus's rows next to the
+    new ones, double-counting every stage total."""
+    from lexicator_spark.plans.pipeline import run_pipeline
+
+    turns_a = _mk_turns(spark, n=15, seed=5)
+    turns_b = _mk_turns(spark, n=15, seed=6)
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, turns_a, out, resume=True, n_buckets=4)
+    run_pipeline(spark, turns_b, out, resume=False, n_buckets=4)
+
+    lin_df = spark.read.parquet(os.path.join(out, "_lineage"))
+    stage_rows = lin_df.filter("partition_id = -1").collect()
+    stages = [r.stage for r in stage_rows]
+    # exactly one stage-level row per stage — no corpus-A leftovers
+    assert sorted(stages) == sorted(set(stages))
+    # and the extract row describes corpus B, not A
+    expect_b, _ = split_rejects(extract_triples(turns_b))
+    extract_out = [r.rows_out for r in stage_rows if r.stage == "extract"][0]
+    assert extract_out == expect_b.count()

@@ -248,3 +248,44 @@ def test_compact_then_detection_refresh_converges(spark, tmp_path):
     # self-healed: the next detection refresh is a true no-op
     ref = refresh_triples_partitioned(spark, turns, stage)
     assert (ref.n_changed, ref.n_buckets_touched) == (0, 0)
+
+
+def test_compact_preserves_duplicate_row_multiplicity(spark, streamed):
+    """A legitimately duplicated row already in the serving table (a
+    raw turn ingested twice extracts to two identical triples — the
+    batch pipeline keeps both) must survive a compaction that touches
+    its bucket: the old exact-distinct union collapsed it, making row
+    multiplicity compaction-history-dependent."""
+    _in_dir, out, _ckpt = streamed
+    stage = out + "_stage"
+    res = compact_stream_epochs(spark, out, stage)
+    tbl = sio.read_table(spark, stage)
+    # checkpoint eagerly: everything below must be severed from the
+    # stage files, which the rewrite replaces
+    one = (
+        tbl.orderBy("conv_id", "turn_idx", "pred", "obj")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    target = tuple(one.collect()[0])
+    meta = sio.read_bucket_meta(spark, stage)
+    dup = tbl.unionByName(one).localCheckpoint(eager=True)
+    n_dup = dup.count()
+    sio.write_table(
+        dup, stage,
+        partition_key=meta["partition_key"], n_buckets=meta["n_buckets"],
+    )
+
+    # a fresh epoch with NEW content for the same conv_id → compaction
+    # rewrites exactly the duplicated row's bucket
+    fresh = one.withColumn(
+        "turn_idx", (F.col("turn_idx") + F.lit(1000)).cast("int")
+    ).localCheckpoint(eager=True)
+    fresh.write.parquet(os.path.join(out, f"epoch_id={res.max_epoch + 1}"))
+
+    res2 = compact_stream_epochs(spark, out, stage)
+    assert res2.n_epochs == 1
+    after = [tuple(r) for r in sio.read_table(spark, stage).collect()]
+    assert after.count(target) == 2          # duplicate preserved
+    assert after.count(tuple(fresh.collect()[0])) == 1  # new row folded once
+    assert len(after) == n_dup + 1

@@ -449,3 +449,25 @@ def test_change_feed_null_conv_ids_ignored(spark, tmp_path):
     res = refresh_triples_partitioned(spark, v2, loc, n_buckets=8,
                                       change_feed=feed)
     assert res.n_changed == 2  # idempotent re-feed, NULLs still ignored
+
+
+def test_refresh_from_feed_rejects_non_conv_id_bucketing(spark, tmp_path):
+    """Feed-scoped pruning is load-bearing for correctness: a raw
+    table bucketed on another key would make the pruned read miss the
+    fed conversations entirely, and the removed-conversation semantics
+    would then DELETE their triples.  Refuse up front instead."""
+    import pytest
+
+    from lexicator_spark.operators.incremental import (
+        materialize_frontier,
+        refresh_from_feed,
+    )
+
+    turns = synth.corpus_df(spark, synth.make_corpus(n_convs=10, seed=23))
+    raw = str(tmp_path / "turns_by_tool")
+    sio.write_table(turns, raw, partition_key="tool", n_buckets=8)
+    stage = str(tmp_path / "stage")
+    materialize_frontier(spark, turns, stage, n_buckets=8)
+    feed = spark.createDataFrame([("c0",)], "conv_id string")
+    with pytest.raises(ValueError, match="bucketed on tool"):
+        refresh_from_feed(spark, raw, stage, feed)
