@@ -110,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.refresh and args.stage != "all":
+        # --refresh drops the downstream checkpoints and relies on the
+        # fall-through pipeline to recompute ALL of them; a --stage
+        # cutoff would close the refresh window with stale stages
+        ap.error("--refresh recomputes every downstream stage; "
+                 "--stage cannot be combined with it")
     if not args.synth and not args.input:
         ap.error("one of --input / --synth is required")  # before JVM spin-up
     if args.compact and not args.input:
@@ -366,6 +372,19 @@ def main(argv: list[str] | None = None) -> int:
 
         raw_path = os.path.join(args.out, "triples_raw")
         if fsutil.exists(spark, os.path.join(raw_path, "_schema.json")):
+            from lexicator_spark.plans.refresh import (
+                begin_refresh,
+                recover_inflight_refresh,
+            )
+
+            # a prior --refresh that died between its raw upsert and
+            # the downstream recompute left markers that would make
+            # the fall-through run_pipeline skip stale stages; drop
+            # them (plus _surface_stats) before touching anything
+            recover_inflight_refresh(spark, args.out)
+            # in-flight until the fall-through run_pipeline below has
+            # re-synced the downstream stages (closed after it)
+            begin_refresh(spark, args.out)
             feed = (
                 spark.read.parquet(args.change_feed)
                 if args.change_feed else None
@@ -441,7 +460,15 @@ def main(argv: list[str] | None = None) -> int:
     res = run_pipeline(
         spark, turns, args.out, resume=not args.no_resume, impl=args.impl,
         backfill_groups=args.backfill, turns_source=turns_source,
+        stop_after=None if args.stage == "all" else args.stage,
     )
+    if args.refresh:
+        # downstream stages are consistent with the refreshed raw
+        # table again — close the crash-recovery window opened above
+        # (no-op when the refresh fell through to a first full build)
+        from lexicator_spark.plans.refresh import end_refresh
+
+        end_refresh(spark, args.out)
     print(
         json.dumps(
             {

@@ -32,10 +32,7 @@ def with_split(
     md5 is engine-portable (identical in DuckDB), so the assignment is
     an exact SQL twin, and content-hashing keeps duplicate texts in
     one split."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("bigint")
-        % 100
-    )
+    bucket = TS.md5_bucket(F.col(text_col), 100)
     return docs.withColumn("split_bucket", bucket).withColumn(
         "split", F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train"))
     )
@@ -67,12 +64,25 @@ def pack_sequences(
     test-scale corpora; at 100 TB pass ``("split", "p_hash")`` (or any
     bucketing column) so each group is a bounded bucket — packing is a
     per-bucket decision in real pipelines anyway (readers consume
-    buckets independently)."""
+    buckets independently).
+
+    Determinism precondition: the order keys must be unique within
+    each partition group, or the running sum breaks ties in arbitrary
+    task order and re-runs can move tied docs across a bin boundary.
+    ``mixture_sample`` output intentionally repeats ``doc_id`` across
+    copies — its ``copy_idx`` is appended to the order automatically."""
     from pyspark.sql import Window
 
+    if budget < 1:
+        # fail loudly: budget 0 would divide by zero, which non-ANSI
+        # Spark folds to a NULL bin for every row instead of an error
+        raise ValueError(f"pack_sequences budget must be >= 1, got {budget}")
+    order_cols = [order_col]
+    if "copy_idx" in docs.columns and order_col != "copy_idx":
+        order_cols.append("copy_idx")
     w = (
         Window.partitionBy(*[F.col(c) for c in partition_cols])
-        .orderBy(F.col(order_col))
+        .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n_tok = F.size(TS._toks(F.col(text_col)))
@@ -80,7 +90,7 @@ def pack_sequences(
     cum = F.sum("n_tokens").over(w)
     return with_n.select(
         *partition_cols,
-        order_col,
+        *order_cols,
         "n_tokens",
         # floor, not cast: double→bigint CAST rounds in some engines
         F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("bin"),
@@ -130,24 +140,14 @@ def mixture_sample(
             col = F.when(F.col(source_col) == s, F.lit(mapping[s])).otherwise(col)
         return col
 
-    hash_ppm = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "\x1f",
-                        F.col(key_col).cast("string"),
-                        F.col("copy_idx").cast("string"),
-                        F.lit(str(seed)),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1_000_000
+    hash_ppm = TS.md5_bucket(
+        F.concat_ws(
+            "\x1f",
+            F.col(key_col).cast("string"),
+            F.col("copy_idx").cast("string"),
+            F.lit(str(seed)),
+        ),
+        1_000_000,
     )
     return (
         docs.filter(F.col(source_col).isin(live))

@@ -142,6 +142,9 @@ def khop_distances(
         adj = adj.unionAll(
             edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
+    # pin: the adjacency is joined by every hop — don't re-derive the
+    # upstream edge plan k times
+    adj = adj.localCheckpoint(eager=True)
     visited = (
         seeds.select("node", F.lit(0).cast("int").alias("dist"))
         .distinct()
@@ -232,9 +235,9 @@ def negative_samples(
             f"(n={n}, distinct={st['nd']}, min={st['lo']}, max={st['hi']}) "
             "— re-index the vocabulary after entity deletions"
         )
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", "subj", "pred", "obj")), 1, 8), 16, 10
-    ).cast("bigint")
+    from lexicator_spark.operators.textstats import md5_bucket
+
+    h = md5_bucket(F.concat_ws("|", "subj", "pred", "obj"))
     # left join + raise, not an inner join: a caller-supplied vocab
     # that is missing an obj (stale dictionary after the corpus grew)
     # must fail loudly — an inner join would silently drop every
@@ -332,6 +335,12 @@ def pagerank(
         directed = directed.distinct()
     else:
         directed = directed.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    # pin the edge frame: it is consumed by nodes/out_w and then by
+    # EVERY iteration's join — without this the full upstream edge
+    # derivation (often a corpus-wide co-occurrence build) re-executes
+    # ~iterations+2 times, while the ranks side is already
+    # checkpointed each round for exactly this reason
+    directed = directed.localCheckpoint(eager=True)
     nodes = (
         directed.select(F.col("src").alias("node"))
         .union(directed.select(F.col("dst").alias("node")))
@@ -426,11 +435,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     key_a = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
     key_b = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
     a_first = key_a < key_b
+    # pin: consumed three times (both wedge sides + the closure) —
+    # orientation itself costs two degree joins, paid once this way
     oriented = e.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, key_b).otherwise(key_a).alias("dst_key"),
-    )
+    ).localCheckpoint(eager=True)
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = (
         x.join(y, F.col("x.src") == F.col("y.src"))

@@ -25,6 +25,18 @@ LANG_MARKERS = {
 }
 
 
+def md5_bucket(col, modulus: int | None = None):
+    """First 8 hex chars of ``md5(col)`` as a bigint, optionally mod
+    ``modulus`` — THE deterministic-bucket idiom shared by split
+    assignment (``curation.with_split``), mixture sampling
+    (``curation.mixture_sample``), and KG negative sampling
+    (``graph.negative_samples``).  One implementation so the
+    engine-portable exact-SQL-twin guarantee (md5/substring/conv are
+    identical in DuckDB) cannot silently diverge between the three."""
+    h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+    return h if modulus is None else h % F.lit(modulus)
+
+
 def _toks(col):
     """THE whitespace tokenizer (lowercase, ordered, empties dropped) —
     the single implementation every text operator shares

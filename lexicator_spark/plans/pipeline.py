@@ -197,8 +197,13 @@ def run_pipeline(
     lineage_input_counts: bool = True,
     backfill_groups: int | None = None,
     turns_source: str | None = None,
+    stop_after: str | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full KG-construction pipeline.
+
+    ``stop_after`` truncates the run after the named stage (the CLI's
+    ``--stage X`` contract: run up to and including X) — checkpoints
+    make a later full run resume exactly where this one stopped.
 
     ``lineage_input_counts=False`` records -1 for ``rows_in`` instead
     of counting each stage's input: stage inputs that are persisted
@@ -221,6 +226,17 @@ def run_pipeline(
       triples/       A + same_as + canonical_of, final graph edges
       entities/      canonical_id → surface_form rows
     """
+    _ORDER = ("extract", "link", "canonicalize", "materialize", "entities")
+    if stop_after is not None and stop_after not in _ORDER:
+        raise ValueError(
+            f"stop_after must be one of {_ORDER}, got {stop_after!r}"
+        )
+
+    def _runs(stage: str) -> bool:
+        if stop_after is None:
+            return True
+        return _ORDER.index(stage) <= _ORDER.index(stop_after)
+
     lineage: list[dict] = []
     lineage_entries: list[tuple[dict, list | None]] = []
     run: list[str] = []
@@ -409,7 +425,10 @@ def run_pipeline(
         catalog = build_catalog(spark)
         return link_mentions(triples_a, catalog)
 
-    same_as = staged("link", triples_a, stage_b, os.path.join(out_root, "same_as"), None)
+    if _runs("link"):
+        same_as = staged(
+            "link", triples_a, stage_b, os.path.join(out_root, "same_as"), None
+        )
 
     # Stage C — canonicalization
     def stage_c():
@@ -417,13 +436,18 @@ def run_pipeline(
         assignments = connected_components(edges)
         return canonical_of_triples(assignments)
 
-    canonical = staged("canonicalize", same_as, stage_c, os.path.join(out_root, "canonical"), None)
+    if _runs("canonicalize"):
+        canonical = staged(
+            "canonicalize", same_as, stage_c,
+            os.path.join(out_root, "canonical"), None,
+        )
 
     # Stage D — materialize final graph tables
     def stage_d():
         return triples_a.unionByName(same_as).unionByName(canonical)
 
-    staged("materialize", None, stage_d, triples_path, "conv_id")
+    if _runs("materialize"):
+        staged("materialize", None, stage_d, triples_path, "conv_id")
 
     def stage_entities():
         """Entity dimension table (FIXTURES.md §4): one row per
@@ -435,7 +459,8 @@ def run_pipeline(
             canonical, same_as, mention_counts_of_triples(triples_a)
         )
 
-    staged("entities", None, stage_entities, entities_path, None)
+    if _runs("entities"):
+        staged("entities", None, stage_entities, entities_path, None)
 
     if lineage_entries:
         _write_lineage(spark, out_root, lineage_entries)

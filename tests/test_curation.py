@@ -202,3 +202,37 @@ def test_mixture_sample_plan_has_no_shuffle(spark):
     )
     assert "Exchange" not in plan  # output-proportional, shuffle-free
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_budget_validated(spark):
+    """budget < 1 must fail loudly: non-ANSI Spark folds the
+    divide-by-zero to a NULL bin for every row instead of an error."""
+    import pytest
+
+    docs = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="budget"):
+        CU.pack_sequences(docs, budget=0)
+
+
+def test_pack_sequences_orders_mixture_copies(spark):
+    """mixture_sample output repeats doc_id across copies; packing it
+    must break the order tie on copy_idx (deterministically), not on
+    arbitrary task order — and carry copy_idx through to the output."""
+    docs = spark.createDataFrame(
+        [("d%02d" % i, "s", "w w w w") for i in range(6)],
+        "doc_id string, source string, text string",
+    )
+    mixed = CU.mixture_sample(docs, {"s": 2.0})  # 2 copies per doc
+    packed = CU.pack_sequences(CU.with_split(mixed), budget=10)
+    assert "copy_idx" in packed.columns
+    rows = sorted(
+        (r.doc_id, r.copy_idx, r.bin, r.tokens_before) for r in packed.collect()
+    )
+    assert len(rows) == 12
+    # copy ordering inside each doc is by copy_idx: the 0-copy always
+    # packs at-or-before the 1-copy of the same doc
+    by_doc = {}
+    for doc, ci, b, tb in rows:
+        by_doc.setdefault(doc, {})[ci] = tb
+    for doc, copies in by_doc.items():
+        assert copies[0] <= copies[1]

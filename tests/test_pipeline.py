@@ -386,3 +386,81 @@ def test_cli_dedup_paragraphs_and_turns_verbs(spark, tmp_path):
     flagged = {(r.conv_id, r.turn_idx): r for r in spark.read.parquet(tout).collect()}
     assert flagged[("c1", 1)].is_first and flagged[("c1", 1)].n_copies == 2
     assert not flagged[("c2", 0)].is_first
+
+
+def test_cli_stage_cutoff(tmp_path):
+    """--stage X runs the pipeline up to and including X (the flag was
+    previously parsed but ignored — every invocation ran all five
+    stages); a later full run resumes from the checkpoints."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "kg")
+
+    def run_cli(*extra, expect_rc=0):
+        r = subprocess.run(
+            [sys.executable, "-m", "lexicator_spark",
+             "--synth", "30", "--out", out, "--cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert r.returncode == expect_rc, r.stdout[-2000:] + r.stderr[-2000:]
+        return [json.loads(l) for l in r.stdout.splitlines()
+                if l.startswith("{")]
+
+    first = run_cli("--stage", "extract")[-1]
+    assert first["stages_run"] == ["extract"]
+    assert not os.path.exists(os.path.join(out, "entities"))
+
+    second = run_cli("--stage", "canonicalize")[-1]
+    assert second["stages_skipped"] == ["extract"]
+    assert second["stages_run"] == ["link", "canonicalize"]
+
+    final = run_cli()[-1]
+    assert final["stages_run"] == ["materialize", "entities"]
+
+    # --refresh recomputes every downstream stage; a cutoff would
+    # close its crash-recovery window with stale stages → refused
+    run_cli("--refresh", "--stage", "link", expect_rc=2)
+
+
+def test_cli_refresh_recovers_after_crash(tmp_path):
+    """An in-flight marker left by a --refresh that died between its
+    raw upsert and the downstream recompute must force the next
+    --refresh to recompute the downstream stages even when its own
+    delta is empty (the crashed delta is undetectable by then)."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "kg")
+
+    def run_cli(*extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "lexicator_spark",
+             "--synth", "40", "--out", out, "--cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        return [json.loads(l) for l in r.stdout.splitlines()
+                if l.startswith("{")]
+
+    run_cli()
+    marker = os.path.join(out, "_checkpoints", "_refresh_inflight.json")
+    with open(marker, "w") as f:
+        f.write('{"inflight": true}')
+
+    msgs = run_cli("--refresh")  # same corpus → no new delta
+    stats = next(m for m in msgs if "refreshed_convs" in m)
+    assert stats["refreshed_convs"] == 0
+    final = msgs[-1]
+    # recovery dropped the stale downstream markers → recomputed
+    assert {"link", "canonicalize", "materialize", "entities"} <= set(
+        final["stages_run"]
+    )
+    assert not os.path.exists(marker)
+
+    # and without a crash, the no-op stays a no-op
+    msgs = run_cli("--refresh")
+    assert msgs[-1]["stages_run"] == []
+    assert not os.path.exists(marker)

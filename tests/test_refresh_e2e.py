@@ -406,3 +406,59 @@ def test_refresh_pipeline_requires_complete_build(spark, tmp_path):
     corpus = _df(spark, synth.make_corpus(n_convs=5, seed=3, shuffled=False).rows)
     with pytest.raises(ValueError, match="complete prior build"):
         refresh_pipeline(spark, corpus, root)
+
+
+def test_refresh_pipeline_recovers_from_crashed_refresh(spark, tmp_path):
+    """A refresh that dies between its Stage-A upsert and the
+    downstream sync leaves a delta that can never be re-detected (the
+    frontier advanced atomically with the upsert).  The in-flight
+    marker makes the next refresh_pipeline rebuild the downstream
+    stages from the raw table before processing its own delta —
+    without it, the crashed delta's triples would be permanently
+    missing from triples/same_as/canonical/entities while every
+    future refresh reports a clean no-op."""
+    import os
+    from datetime import timedelta
+
+    from lexicator_spark.operators.incremental import (
+        refresh_triples_partitioned,
+    )
+    from lexicator_spark.plans.refresh import _inflight_path, begin_refresh
+    from lexicator_spark.sources import fsutil
+
+    base = synth.make_corpus(n_convs=20, seed=33, shuffled=False).rows
+    t0 = synth.EPOCH + timedelta(days=5)
+
+    def turn(conv, idx, text, secs):
+        return (conv, idx, "user", text, None, t0 + timedelta(seconds=secs))
+
+    root = str(tmp_path / "inc")
+    run_pipeline(spark, _df(spark, base), root)
+
+    # simulate the crashed refresh: the in-flight window opens, Stage A
+    # lands (frontier advances), the process dies before any
+    # downstream stage or the stats upsert
+    v2 = base + [turn("zcrash1", 0, f"mentions [[{LINKED_ADD}]] here", 1)]
+    begin_refresh(spark, root)
+    res = refresh_triples_partitioned(
+        spark, _df(spark, v2), os.path.join(root, "triples_raw")
+    )
+    assert res.n_changed == 1
+
+    # next refresh: detection sees nothing new (frontier is current),
+    # but the in-flight marker forces the downstream rebuild first
+    res2 = refresh_pipeline(spark, _df(spark, v2), root)
+    assert res2.n_changed == 0
+    full = str(tmp_path / "full")
+    run_pipeline(spark, _df(spark, v2), full)
+    _assert_stages_equal(spark, root, full)
+
+    # window closed: later refreshes don't re-pay the rebuild, and a
+    # real delta still flows through normally
+    assert not fsutil.exists(spark, _inflight_path(root))
+    v3 = v2 + [turn("zcrash1", 1, "a follow-up turn", 2)]
+    res3 = refresh_pipeline(spark, _df(spark, v3), root)
+    assert res3.n_changed == 1
+    full3 = str(tmp_path / "full3")
+    run_pipeline(spark, _df(spark, v3), full3)
+    _assert_stages_equal(spark, root, full3)
