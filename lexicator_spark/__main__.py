@@ -382,20 +382,32 @@ def main(argv: list[str] | None = None) -> int:
             # the fall-through run_pipeline skip stale stages; drop
             # them (plus _surface_stats) before touching anything
             recover_inflight_refresh(spark, args.out)
-            # in-flight until the fall-through run_pipeline below has
-            # re-synced the downstream stages (closed after it)
-            begin_refresh(spark, args.out)
             feed = (
                 spark.read.parquet(args.change_feed)
                 if args.change_feed else None
             )
+            from lexicator_spark.operators.incremental import (
+                validate_refresh_preconditions,
+            )
             from lexicator_spark.sources import io as sio
 
-            if (
+            pruned = (
                 feed is not None
                 and not args.synth
                 and sio.read_bucket_meta(spark, args.input) is not None
-            ):
+            )
+            # fail-fast reads and validations BEFORE the in-flight
+            # marker: a refresh refused here mutated nothing and must
+            # not strand a marker that would force a spurious
+            # O(corpus) downstream rebuild on the next invocation
+            validate_refresh_preconditions(
+                spark, raw_path,
+                turns_location=args.input if pruned else None,
+            )
+            # in-flight until the fall-through run_pipeline below has
+            # re-synced the downstream stages (closed after it)
+            begin_refresh(spark, args.out)
+            if pruned:
                 # bucketed raw-turns input + feed: the fully
                 # delta-scoped path (prunes the raw read too)
                 from lexicator_spark.operators.incremental import (

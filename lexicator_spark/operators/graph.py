@@ -200,11 +200,18 @@ def negative_samples(
     neg_idx → entity), both broadcastable when the vocabulary fits and
     plain shuffle joins when it doesn't; the triple side is touched
     once.  ``n_negatives`` fans out via an inline ``explode(sequence)``
-    before the second join — output is exactly ``n_negatives × |triples|``
-    rows, linear, no distinct.  The one driver-side value is the
+    before the second join — output is exactly ``n_negatives ×
+    |triples with non-NULL obj|`` rows (NULL-obj rows have no identity
+    to corrupt and are dropped up front), linear, no distinct.  The one driver-side value is the
     vocabulary count (a scalar aggregation over the small side)."""
     if n_negatives < 1:
         raise ValueError("n_negatives must be >= 1")
+    # a NULL obj cannot be corrupted (no identity to corrupt) and the
+    # equi-join below would never match it even if the vocab carried a
+    # NULL entity — drop such rows up front, so the contract reads
+    # "n_negatives × |non-NULL-obj triples|" instead of a misleading
+    # "obj absent from vocab: <NULL>" crash on the internal-vocab path
+    triples = triples.filter(F.col("obj").isNotNull())
     if vocab is None:
         from pyspark.sql import Window
 

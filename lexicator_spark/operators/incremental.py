@@ -94,6 +94,71 @@ def refresh_triples(
     return kept.unionByName(_delta_good_triples(turns, changed, impl))
 
 
+def validate_refresh_preconditions(
+    spark: SparkSession,
+    stage_location: str,
+    turns_location: str | None = None,
+) -> dict | None:
+    """Raise — without mutating anything — the ValueErrors the refresh
+    entry points would raise before their first write.  Callers that
+    bracket a refresh with the crash-recovery in-flight marker
+    (``plans/refresh.begin_refresh``) run this FIRST, so a mere
+    validation failure cannot strand the marker and force a spurious
+    O(corpus) downstream rebuild on the next run.
+
+    Checks: no unfinished chunked backfill on the stage table, and —
+    for the feed-pruned path (``turns_location`` given) — frontier
+    existence plus conv_id bucketing of the raw-turns table.  Returns
+    the turns table's bucket meta (``None`` when no ``turns_location``)
+    so the feed path doesn't re-read the sidecar."""
+    _refuse_unfinished_backfill(spark, stage_location)
+    if turns_location is None:
+        return None
+    if not fsutil.exists(spark, _frontier_location(stage_location)):
+        raise ValueError(
+            f"stage at {stage_location} has no _frontier yet: run one "
+            "full-corpus refresh_triples_partitioned to bootstrap it "
+            "before feed-scoped refreshes"
+        )
+    t_meta = sio.read_bucket_meta(spark, turns_location)
+    if t_meta is None:
+        raise ValueError(
+            f"turns table at {turns_location} is not bucketed "
+            "(no _buckets.json): feed-scoped pruning needs "
+            "sio.write_table's conv_id bucketing"
+        )
+    if t_meta["partition_key"] != "conv_id":
+        # pruning here is load-bearing for CORRECTNESS, not just speed:
+        # the fed conversations' rows must be inside the pruned buckets
+        # or the refresh sees them as absent and DELETES their triples
+        # (removed-conversation semantics)
+        raise ValueError(
+            f"turns table at {turns_location} is bucketed on "
+            f"{t_meta['partition_key']} (_buckets.json), not conv_id: "
+            "feed-scoped pruning would miss the fed conversations and "
+            "delete their triples; rebucket on conv_id or use "
+            "refresh_triples_partitioned with the full snapshot"
+        )
+    return t_meta
+
+
+def _refuse_unfinished_backfill(spark: SparkSession, stage_location: str) -> None:
+    """A detection refresh over a half-backfilled stage table would
+    re-extract every remaining conversation in one unchunked pass —
+    refuse until the backfill completes."""
+    mpath = _backfill_marker(stage_location)
+    if fsutil.exists(spark, mpath):
+        marker = json.loads(fsutil.read_text(spark, mpath))
+        if len(marker["done"]) != marker["n_groups"]:
+            raise ValueError(
+                f"stage at {stage_location} has an unfinished backfill "
+                f"({len(marker['done'])}/{marker['n_groups']} groups): "
+                "finish backfill_triples before refreshing — a "
+                "detection refresh would re-extract every remaining "
+                "conversation in one unchunked pass"
+            )
+
+
 def refresh_from_feed(
     spark: SparkSession,
     turns_location: str,
@@ -126,31 +191,9 @@ def refresh_from_feed(
     first ``refresh_triples_partitioned``) before switching to the
     feed loop — raises ValueError otherwise rather than silently
     leaving unlisted conversations stale."""
-    if not fsutil.exists(spark, _frontier_location(stage_location)):
-        raise ValueError(
-            f"stage at {stage_location} has no _frontier yet: run one "
-            "full-corpus refresh_triples_partitioned to bootstrap it "
-            "before feed-scoped refreshes"
-        )
-    t_meta = sio.read_bucket_meta(spark, turns_location)
-    if t_meta is None:
-        raise ValueError(
-            f"turns table at {turns_location} is not bucketed "
-            "(no _buckets.json): feed-scoped pruning needs "
-            "sio.write_table's conv_id bucketing"
-        )
-    if t_meta["partition_key"] != "conv_id":
-        # pruning here is load-bearing for CORRECTNESS, not just speed:
-        # the fed conversations' rows must be inside the pruned buckets
-        # or the refresh sees them as absent and DELETES their triples
-        # (removed-conversation semantics)
-        raise ValueError(
-            f"turns table at {turns_location} is bucketed on "
-            f"{t_meta['partition_key']} (_buckets.json), not conv_id: "
-            "feed-scoped pruning would miss the fed conversations and "
-            "delete their triples; rebucket on conv_id or use "
-            "refresh_triples_partitioned with the full snapshot"
-        )
+    t_meta = validate_refresh_preconditions(
+        spark, stage_location, turns_location
+    )
     changed = (
         change_feed.select("conv_id")
         # a NULL conv_id names nothing — drop it.  (Note xxhash64(NULL)
@@ -541,17 +584,7 @@ def refresh_triples_partitioned(
     elif n_buckets is None:
         n_buckets = sio.DEFAULT_BUCKETS
 
-    mpath = _backfill_marker(stage_location)
-    if fsutil.exists(spark, mpath):
-        marker = json.loads(fsutil.read_text(spark, mpath))
-        if len(marker["done"]) != marker["n_groups"]:
-            raise ValueError(
-                f"stage at {stage_location} has an unfinished backfill "
-                f"({len(marker['done'])}/{marker['n_groups']} groups): "
-                "finish backfill_triples before refreshing — a "
-                "detection refresh would re-extract every remaining "
-                "conversation in one unchunked pass"
-            )
+    _refuse_unfinished_backfill(spark, stage_location)
 
     floc = _frontier_location(stage_location)
     bootstrap = not fsutil.exists(spark, floc)

@@ -98,12 +98,22 @@ def _lineage_flushed(spark: SparkSession, root: str) -> set[str]:
                 .distinct()
                 .collect()
             }
-        except Exception:
+        except Exception as exc:
             # the directory exists but holds no committed parquet (a
             # run died INSIDE the lineage write, leaving only
             # _temporary/) — nothing was flushed; resume recovers
-            # from the stage markers exactly as before this fallback
-            return set()
+            # from the stage markers exactly as before this fallback.
+            # ONLY that case: a transient read failure (throttling,
+            # one bad footer) must propagate, or this resume would
+            # re-append every marker-done stage's lineage rows on top
+            # of the already-flushed ones (silent double counting)
+            msg = str(exc)
+            if (
+                "UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg
+            ):
+                return set()
+            raise
     return set()
 
 
@@ -334,6 +344,14 @@ def run_pipeline(
             # suppress the crashed rebuild's lineage backfill.
             os.path.join(out_root, "_checkpoints"),
             os.path.join(out_root, "_lineage"),
+            # downstream stage tables too: a full run overwrites them
+            # anyway, but with stop_after truncating the run they'd
+            # keep serving the PREVIOUS corpus to direct readers
+            # (triples_of & co read the table paths, not the markers)
+            os.path.join(out_root, "same_as"),
+            os.path.join(out_root, "canonical"),
+            triples_path,
+            entities_path,
         ):
             fsutil.delete(spark, stale, recursive=True)
 

@@ -270,6 +270,20 @@ def test_negative_samples_contract(spark):
     assert a == b
 
 
+def test_negative_samples_null_obj_rows_dropped(spark):
+    """A NULL obj has no identity to corrupt: such rows are dropped up
+    front (the equi-join can never match NULL anyway) instead of
+    crashing the job with a misleading 'obj absent from vocab'
+    raise_error on the internal-vocab path."""
+    rows = [("c0", "mentions", "apple"), ("c1", "mentions", "pear"),
+            ("c2", "mentions", None), ("c3", "mentions", "apple")]
+    triples = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = G.negative_samples(triples, n_negatives=2).collect()
+    assert len(out) == 3 * 2  # non-NULL-obj rows only
+    assert all(r.obj is not None and r.neg_obj is not None for r in out)
+    assert not any(r.subj == "c2" for r in out)
+
+
 def test_negative_samples_precomputed_vocab_and_guards(spark):
     """A precomputed (entity, idx) dimension — the at-scale path —
     must be honored verbatim; degenerate vocabularies are rejected."""

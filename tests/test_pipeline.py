@@ -49,6 +49,33 @@ def test_pipeline_resume_skips_done_stages(spark, tmp_path):
     assert _tset(triples_of(spark, out)) == first
 
 
+def test_rebuild_with_stop_after_leaves_no_stale_downstream(spark, tmp_path):
+    """resume=False means REBUILD: when stop_after truncates the run
+    before the downstream stages, their tables from the PREVIOUS
+    corpus must be deleted, not left serving mixed-corpus answers to
+    direct readers (triples_of reads the table path, not markers)."""
+    out = str(tmp_path / "kg")
+    corpus_a = synth.make_corpus(n_convs=40, seed=8)
+    run_pipeline(spark, synth.corpus_df(spark, corpus_a), out)
+    assert os.path.exists(os.path.join(out, "triples"))
+
+    corpus_b = synth.make_corpus(n_convs=25, seed=99)
+    res = run_pipeline(
+        spark, synth.corpus_df(spark, corpus_b), out,
+        resume=False, stop_after="extract",
+    )
+    assert res.stages_run == ["extract"]
+    for stale in ("same_as", "canonical", "triples", "entities"):
+        assert not os.path.exists(os.path.join(out, stale)), stale
+
+    # finishing the run later picks up from the checkpoint and the
+    # final graph describes corpus B alone
+    run_pipeline(spark, synth.corpus_df(spark, corpus_b), out, resume=True)
+    fresh = str(tmp_path / "fresh")
+    run_pipeline(spark, synth.corpus_df(spark, corpus_b), fresh)
+    assert _tset(triples_of(spark, out)) == _tset(triples_of(spark, fresh))
+
+
 def test_pipeline_resume_mid_run(spark, tmp_path):
     """Kill after Stage A (simulated by a first run whose later
     checkpoints are removed), rerun, assert identical final tables and

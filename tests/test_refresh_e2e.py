@@ -433,7 +433,11 @@ def test_refresh_pipeline_recovers_from_crashed_refresh(spark, tmp_path):
         return (conv, idx, "user", text, None, t0 + timedelta(seconds=secs))
 
     root = str(tmp_path / "inc")
-    run_pipeline(spark, _df(spark, base), root)
+    # non-default modulus: the recovery rebuild must inherit it from
+    # the raw table's sidecar, or it would rebucket `triples` to
+    # DEFAULT_BUCKETS and the co-upsert modulus check would brick
+    # every later refresh of this root
+    run_pipeline(spark, _df(spark, base), root, n_buckets=8)
 
     # simulate the crashed refresh: the in-flight window opens, Stage A
     # lands (frontier advances), the process dies before any
@@ -449,6 +453,16 @@ def test_refresh_pipeline_recovers_from_crashed_refresh(spark, tmp_path):
     # but the in-flight marker forces the downstream rebuild first
     res2 = refresh_pipeline(spark, _df(spark, v2), root)
     assert res2.n_changed == 0
+
+    # recovery also re-counted the extract marker's bucket_counts from
+    # the post-crash raw table (the crashed upsert changed buckets the
+    # marker still described pre-crash)
+    from lexicator_spark.plans import pipeline as P
+
+    marker = P._read_marker(spark, root, "extract")
+    fresh = P._bucket_counts(spark, os.path.join(root, "triples_raw"))
+    assert sorted(map(tuple, marker["bucket_counts"])) == sorted(fresh)
+    assert marker["rows_out"] == sum(c for _, c in fresh)
     full = str(tmp_path / "full")
     run_pipeline(spark, _df(spark, v2), full)
     _assert_stages_equal(spark, root, full)
@@ -462,3 +476,39 @@ def test_refresh_pipeline_recovers_from_crashed_refresh(spark, tmp_path):
     full3 = str(tmp_path / "full3")
     run_pipeline(spark, _df(spark, v3), full3)
     _assert_stages_equal(spark, root, full3)
+
+
+def test_refresh_pipeline_validation_failure_strands_no_marker(spark, tmp_path):
+    """A refresh refused on its preconditions mutated nothing, so it
+    must not leave the in-flight crash marker behind — a stranded
+    marker would force a spurious O(corpus) downstream rebuild on the
+    next (fixed) invocation."""
+    import os
+
+    from lexicator_spark.plans.refresh import _inflight_path
+    from lexicator_spark.sources import fsutil
+
+    base = synth.make_corpus(n_convs=10, seed=44, shuffled=False).rows
+    root = str(tmp_path / "inc")
+    run_pipeline(spark, _df(spark, base), root)
+
+    # unbucketed turns_location → the feed-pruned path must refuse
+    plain = str(tmp_path / "plain_turns")
+    _df(spark, base).write.parquet(plain)
+    feed = _df(spark, base).select("conv_id").limit(1)
+    with pytest.raises(ValueError, match="not bucketed"):
+        refresh_pipeline(spark, None, root, turns_location=plain,
+                         change_feed=feed)
+    assert not fsutil.exists(spark, _inflight_path(root))
+
+    # turns_location without a feed is refused before any marker too
+    with pytest.raises(ValueError, match="change_feed"):
+        refresh_pipeline(spark, None, root, turns_location=plain)
+    assert not fsutil.exists(spark, _inflight_path(root))
+
+    # and the root still refreshes normally afterwards (no stranded
+    # state): a no-op detection refresh stays a metadata no-op
+    res = refresh_pipeline(spark, _df(spark, base), root)
+    assert res.n_changed == 0
+    assert not fsutil.exists(spark, _inflight_path(root))
+    assert os.path.exists(os.path.join(root, "entities"))
