@@ -38,6 +38,11 @@ from lexicator_spark.operators.link import build_catalog, link_mentions
 from lexicator_spark.sources import io as sio
 from lexicator_spark import rules
 
+# The pipeline's stage order — the single authority shared by
+# run_pipeline's stop_after validation, plans/refresh's marker
+# deletion + completeness loop, and the CLI's --stage choices.
+STAGES = ("extract", "link", "canonicalize", "materialize", "entities")
+
 
 @dataclass
 class PipelineResult:
@@ -236,16 +241,15 @@ def run_pipeline(
       triples/       A + same_as + canonical_of, final graph edges
       entities/      canonical_id → surface_form rows
     """
-    _ORDER = ("extract", "link", "canonicalize", "materialize", "entities")
-    if stop_after is not None and stop_after not in _ORDER:
+    if stop_after is not None and stop_after not in STAGES:
         raise ValueError(
-            f"stop_after must be one of {_ORDER}, got {stop_after!r}"
+            f"stop_after must be one of {STAGES}, got {stop_after!r}"
         )
 
     def _runs(stage: str) -> bool:
         if stop_after is None:
             return True
-        return _ORDER.index(stage) <= _ORDER.index(stop_after)
+        return STAGES.index(stage) <= STAGES.index(stop_after)
 
     lineage: list[dict] = []
     lineage_entries: list[tuple[dict, list | None]] = []
