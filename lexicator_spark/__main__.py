@@ -116,6 +116,15 @@ def main(argv: list[str] | None = None) -> int:
         # cutoff would close the refresh window with stale stages
         ap.error("--refresh recomputes every downstream stage; "
                  "--stage cannot be combined with it")
+    if args.refresh_e2e and args.stage != "all":
+        # same contract as --refresh: an in-place refresh of every
+        # stage table has no cutoff point, so a --stage that would be
+        # silently dropped is an error instead
+        ap.error("--refresh-e2e refreshes every stage in place; "
+                 "--stage cannot be combined with it")
+    if args.refresh_e2e and (args.no_resume or args.backfill is not None):
+        ap.error("--refresh-e2e never re-runs the build pipeline; "
+                 "--no-resume/--backfill cannot be combined with it")
     if not args.synth and not args.input:
         ap.error("one of --input / --synth is required")  # before JVM spin-up
     if args.compact and not args.input:

@@ -338,35 +338,10 @@ def backfill_triples(
     if n_buckets is None:
         meta = sio.read_bucket_meta(spark, stage_location)
         n_buckets = meta["n_buckets"] if meta else sio.DEFAULT_BUCKETS
-    mpath = _backfill_marker(stage_location)
-    if fsutil.exists(spark, mpath):
-        marker = json.loads(fsutil.read_text(spark, mpath))
-        if marker["n_buckets"] != n_buckets or marker["n_groups"] != n_groups:
-            raise ValueError(
-                f"backfill at {stage_location} was started with "
-                f"n_buckets={marker['n_buckets']} n_groups="
-                f"{marker['n_groups']}; refusing to resume with "
-                f"n_buckets={n_buckets} n_groups={n_groups}"
-            )
-        done = list(marker["done"])
-    elif fsutil.exists(spark, os.path.join(stage_location, "_schema.json")):
-        raise ValueError(
-            f"stage at {stage_location} already exists and is not a "
-            "backfill in progress: use refresh_triples_partitioned"
-        )
-    else:
-        done = []
-        # marker BEFORE any group work: the first group's upsert
-        # creates the stage sidecars, so a crash inside it would
-        # otherwise leave a state the existing-table guard above
-        # mistakes for a complete foreign table and refuses to resume
-        fsutil.write_text(
-            spark, mpath,
-            json.dumps(
-                {"n_buckets": n_buckets, "n_groups": n_groups, "done": []}
-            ),
-        )
-
+    # validate the turns input BEFORE any marker is persisted: this is
+    # read-only, and a marker stranded by a failed validation would
+    # make every later refresh/backfill on this stage raise
+    # "unfinished backfill (0/N groups)" until hand-deleted
     raw_buckets_of: dict[int, list[int]] | None = None
     if isinstance(turns, str):
         t_meta = sio.read_bucket_meta(spark, turns)
@@ -395,6 +370,34 @@ def backfill_triples(
         turns_df = sio.read_table(spark, turns, keep_bucket_col=True)
     else:
         turns_df = turns
+    mpath = _backfill_marker(stage_location)
+    if fsutil.exists(spark, mpath):
+        marker = json.loads(fsutil.read_text(spark, mpath))
+        if marker["n_buckets"] != n_buckets or marker["n_groups"] != n_groups:
+            raise ValueError(
+                f"backfill at {stage_location} was started with "
+                f"n_buckets={marker['n_buckets']} n_groups="
+                f"{marker['n_groups']}; refusing to resume with "
+                f"n_buckets={n_buckets} n_groups={n_groups}"
+            )
+        done = list(marker["done"])
+    elif fsutil.exists(spark, os.path.join(stage_location, "_schema.json")):
+        raise ValueError(
+            f"stage at {stage_location} already exists and is not a "
+            "backfill in progress: use refresh_triples_partitioned"
+        )
+    else:
+        done = []
+        # marker BEFORE any group work: the first group's upsert
+        # creates the stage sidecars, so a crash inside it would
+        # otherwise leave a state the existing-table guard above
+        # mistakes for a complete foreign table and refuses to resume
+        fsutil.write_text(
+            spark, mpath,
+            json.dumps(
+                {"n_buckets": n_buckets, "n_groups": n_groups, "done": []}
+            ),
+        )
 
     from lexicator_spark.operators.extract import split_rejects
 
@@ -683,13 +686,20 @@ def refresh_triples_partitioned(
         )
         frontier_replacement = kept_frontier.unionByName(new_frontier)
 
-    # both replacements read the very files the upserts are about to
-    # replace, so they are materialized (executor-side staging) BEFORE
-    # any write — Iceberg's snapshot isolation makes this step
-    # unnecessary there; on the parquet backend the staged volume is
-    # bounded by the touched buckets, not the table
-    replacement = replacement.localCheckpoint(eager=True)
-    frontier_replacement = frontier_replacement.localCheckpoint(eager=True)
+    # Replacement frames read the very files the upserts are about to
+    # replace, so they must be materialized BEFORE any write.  For the
+    # two upsert_partitions calls below that pin happens INSIDE the
+    # seam (touched_buckets forces an eager localCheckpoint there), so
+    # an extra one here would double the refresh's dominant
+    # materialization cost.  The one frame NOT covered is the
+    # bootstrap frontier: it lazily reads stage_location (the triples-
+    # derived frontier), goes through write_table (no internal pin),
+    # and the stage upsert rewrites those files first — pin it here.
+    # Iceberg's snapshot isolation makes this unnecessary there; on
+    # the parquet backend the staged volume is one full frontier
+    # (bootstrap happens once per table).
+    if bootstrap:
+        frontier_replacement = frontier_replacement.localCheckpoint(eager=True)
 
     # a sparse delta touches few buckets: spread each touched bucket's
     # rewrite over salted files so it isn't one writer task per bucket

@@ -127,11 +127,17 @@ def test_backfill_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="refusing to resume"):
         backfill_triples(spark, turns, loc2, n_buckets=8, n_groups=2)
-    # unbucketed location string → refuse
+    # unbucketed location string → refuse, WITHOUT stranding a
+    # progress marker on the stage location: a corrected retry on the
+    # same stage must start clean instead of raising "unfinished
+    # backfill (0/N groups)"
     flat = str(tmp_path / "flat")
     turns.write.parquet(flat)
+    stage_c = str(tmp_path / "stage_c")
     with pytest.raises(ValueError, match="not bucketed"):
-        backfill_triples(spark, flat, str(tmp_path / "stage_c"))
+        backfill_triples(spark, flat, stage_c)
+    got = backfill_triples(spark, turns, stage_c, n_groups=2)
+    assert got.complete and got.groups_run == [0, 1]
 
 
 def test_cli_backfill_pipeline(tmp_path):

@@ -296,6 +296,26 @@ def test_cli_full_run_then_incremental_refresh(tmp_path):
     assert stats["stages_refreshed"] == []
 
 
+def test_cli_flag_conflicts_error_before_jvm():
+    # both refresh verbs must REJECT a --stage cutoff (and --refresh-e2e
+    # the build-only flags) instead of silently ignoring it; argparse
+    # errors fire before any SparkSession is built, so this is JVM-free
+    import pytest
+
+    from lexicator_spark.__main__ import main
+
+    base = ["--synth", "5", "--out", "/tmp/unused"]
+    for extra in (
+        ["--refresh", "--stage", "extract"],
+        ["--refresh-e2e", "--stage", "extract"],
+        ["--refresh-e2e", "--no-resume"],
+        ["--refresh-e2e", "--backfill", "4"],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            main(base + extra)
+        assert exc.value.code == 2
+
+
 def test_lineage_written(spark, tmp_path):
     corpus = synth.make_corpus(n_convs=10, seed=4)
     df = synth.corpus_df(spark, corpus)
