@@ -149,7 +149,55 @@ def main() -> None:
     for arm in ("old", "new", "new", "old"):
         refresh_once(arm, "pct1_feed", 100, next(residue))
 
-    for family in ("sparse_feed", "pct1_feed"):
+    # fully-pruned loop (refresh_from_feed): bucketed raw table, both
+    # the raw read and the stage read prune to the fed buckets — the
+    # O(corpus) scan is gone, so staged volume IS the wall and the
+    # second pin should be its largest relative share.  Deltas come
+    # from base-corpus conversations never bumped above (fresh
+    # residues), upserted into the raw table before the timed refresh.
+    from lexicator_spark.operators.incremental import refresh_from_feed
+
+    RAW = os.path.join(ROOT, "turns_bucketed")
+    sio.write_table(turns, RAW, partition_key="conv_id")
+    print("PHASE raw_staged", flush=True)
+
+    def pruned_once(arm: str, residue: int) -> None:
+        add_delta(300_000, residue)
+        delta_df = spark.read.parquet(os.path.join(DELTAS, f"d{n_deltas - 1}"))
+        feed = delta_df.select("conv_id").distinct().localCheckpoint(eager=True)
+        t_touched = [
+            r.p
+            for r in feed.select(
+                F.pmod(F.xxhash64("conv_id"), F.lit(sio.DEFAULT_BUCKETS))
+                .cast("int").alias("p")
+            ).distinct().collect()
+        ]
+        pruned_existing = (
+            sio.read_table(spark, RAW, keep_bucket_col=True)
+            .filter(F.col("p_hash").isin(t_touched))
+            .drop("p_hash")
+        )
+        sio.upsert_partitions(  # untimed ingest, always shipped code
+            pruned_existing.unionByName(delta_df), RAW,
+            partition_key="conv_id", touched_buckets=t_touched,
+        )
+        sio.upsert_partitions = (
+            _double_pin_upsert if arm == "old" else _SINGLE_PIN_UPSERT
+        )
+        try:
+            t0 = time.monotonic()
+            res = refresh_from_feed(spark, RAW, STAGE, feed)
+            wall = round(time.monotonic() - t0, 2)
+        finally:
+            sio.upsert_partitions = _SINGLE_PIN_UPSERT
+        walls.setdefault(f"pruned_feed_{arm}", []).append(wall)
+        print(f"PHASE pruned_feed arm={arm} {wall}s changed={res.n_changed} "
+              f"buckets={res.n_buckets_touched}", flush=True)
+
+    for arm in ("old", "new", "new", "old", "old", "new", "new", "old"):
+        pruned_once(arm, next(residue))
+
+    for family in ("sparse_feed", "pct1_feed", "pruned_feed"):
         o, n = walls[f"{family}_old"], walls[f"{family}_new"]
         out[f"{family}_old_walls"] = o
         out[f"{family}_new_walls"] = n
