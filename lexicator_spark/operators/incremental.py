@@ -511,6 +511,11 @@ class RefreshResult(NamedTuple):
     n_changed: int  # conversations re-extracted this refresh
     n_buckets_touched: int  # p_hash buckets rewritten
     touched_buckets: tuple[int, ...] = ()  # the rewritten p_hash ids
+    # per-bucket row counts of the rewritten buckets, straight from
+    # the upsert's became-empty probe (sio.upsert_partitions) — lets
+    # plans/refresh maintain lineage counts without re-reading the
+    # files this refresh just wrote.  None on the 0-changed no-op.
+    bucket_counts: tuple[tuple[int, int], ...] | None = None
 
 
 def refresh_triples_partitioned(
@@ -591,6 +596,14 @@ def refresh_triples_partitioned(
 
     floc = _frontier_location(stage_location)
     bootstrap = not fsutil.exists(spark, floc)
+    # detection mode pins (conv_id, max_idx) — the changed set AND the
+    # changed conversations' new frontier rows in ONE checkpointed
+    # delta-sized frame, so the frontier replacement below needs no
+    # second full-snapshot aggregate (it equals `latest` restricted to
+    # the changed set by definition).  Feed mode has no `latest`;
+    # changed_with_max stays None there and the frontier derives from
+    # the one semi-join pass over `turns`.
+    changed_with_max: DataFrame | None = None
     if change_feed is not None and not bootstrap:
         # RecentChanges proper: the feed IS the changed set — no
         # snapshot-wide detection aggregate, no full frontier read.
@@ -618,15 +631,16 @@ def refresh_triples_partitioned(
         else:
             frontier = sio.read_table(spark, floc)
         latest = turns.groupBy("conv_id").agg(F.max("turn_idx").alias("max_idx"))
-        changed = (
+        changed_with_max = (
             latest.join(frontier, "conv_id", "left")
             .filter(
                 F.col("done_max_idx").isNull()
                 | (F.col("max_idx") > F.col("done_max_idx"))
             )
-            .select("conv_id")
+            .select("conv_id", "max_idx")
             .localCheckpoint(eager=True)
         )
+        changed = changed_with_max.select("conv_id")
     n_changed = changed.count()
     if n_changed == 0:
         # true no-op: no stage write, no frontier write, zero files
@@ -662,15 +676,24 @@ def refresh_triples_partitioned(
     )
     # frontier maintenance: first refresh of a pre-frontier table
     # persists the COMPLETE frontier (one-time full write); afterwards
-    # it is bucket-upserted exactly like the stage table
-    # delta-scoped by construction (one semi-join pass over `turns`)
-    # so feed mode never aggregates the full snapshot; in detection
-    # mode this equals `latest` restricted to the changed set
-    new_frontier = (
-        turns.join(changed, "conv_id", "left_semi")
-        .groupBy("conv_id")
-        .agg(F.max("turn_idx").alias("done_max_idx"))
-    )
+    # it is bucket-upserted exactly like the stage table.  Detection
+    # mode reuses the pinned (conv_id, max_idx) delta — the changed
+    # set's new frontier rows are BY DEFINITION `latest` restricted to
+    # it, so re-aggregating the snapshot here was a second full-corpus
+    # pass per refresh tick (removed r6; at 29M turns that pass is the
+    # difference between O(delta) and O(corpus) frontier upkeep).
+    # Feed mode still derives it from one semi-join pass over `turns`
+    # (delta-scoped by construction — no snapshot aggregate exists).
+    if changed_with_max is not None:
+        new_frontier = changed_with_max.select(
+            "conv_id", F.col("max_idx").alias("done_max_idx")
+        )
+    else:
+        new_frontier = (
+            turns.join(changed, "conv_id", "left_semi")
+            .groupBy("conv_id")
+            .agg(F.max("turn_idx").alias("done_max_idx"))
+        )
     if bootstrap:
         frontier_replacement = frontier.join(
             changed, "conv_id", "left_anti"
@@ -711,22 +734,44 @@ def refresh_triples_partitioned(
             spark.sparkContext.defaultParallelism // max(1, n_buckets_touched),
         ),
     )
-    sio.upsert_partitions(
-        replacement, stage_location, partition_key="conv_id",
-        n_buckets=n_buckets, touched_buckets=touched, files_per_bucket=fpb,
-    )
-    if bootstrap:
-        sio.write_table(
-            frontier_replacement, floc, partition_key="conv_id", n_buckets=n_buckets
-        )
-    else:
-        sio.upsert_partitions(
-            frontier_replacement, floc, partition_key="conv_id",
+
+    # The stage upsert and the frontier upsert touch DISJOINT tables
+    # (each one's replacement frame reads only its own table's files,
+    # pinned inside the seam before its write) — run them as two
+    # concurrent jobs so the frontier write's fixed job costs hide
+    # under the stage write's tail instead of adding to it (guide
+    # §2.6: overlap independent jobs; a sparse refresh is fixed-cost-
+    # dominated, so serial job count IS its wall).
+    def _stage_upsert():
+        return sio.upsert_partitions(
+            replacement, stage_location, partition_key="conv_id",
             n_buckets=n_buckets, touched_buckets=touched,
+            files_per_bucket=fpb,
         )
+
+    def _frontier_upsert():
+        if bootstrap:
+            sio.write_table(
+                frontier_replacement, floc, partition_key="conv_id",
+                n_buckets=n_buckets,
+            )
+        else:
+            sio.upsert_partitions(
+                frontier_replacement, floc, partition_key="conv_id",
+                n_buckets=n_buckets, touched_buckets=touched,
+            )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        stage_future = pool.submit(_stage_upsert)
+        frontier_future = pool.submit(_frontier_upsert)
+        stage_counts = stage_future.result()
+        frontier_future.result()
     return RefreshResult(
         sio.read_table(spark, stage_location),
         n_changed,
         n_buckets_touched,
         tuple(touched),
+        tuple(stage_counts) if stage_counts is not None else None,
     )

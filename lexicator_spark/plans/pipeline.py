@@ -160,46 +160,37 @@ def _write_lineage(
     bucket counts), so a run that dies before this final write loses
     no information.
 
-    The frame is built from JVM literals, NOT createDataFrame([...]):
-    a Python-list-backed frame spins up a Python worker per default
-    slice just to write a handful of rows (~5 s per append at
-    local[32]).  Row count is bounded: stages · (1 + n_buckets)."""
+    The frame is a SINGLE-SLICE parallelize (the _driver_union_find
+    idiom), not createDataFrame([...]) (a Python worker per default
+    slice) and not a literal explode(array(struct...)) plan: r5 built
+    ~stages·(1+n_buckets) struct literals inline and Catalyst analysis
+    of that expression tree cost ~5 s per run at bench scale — pure
+    driver time, measured in scripts/bench_r06_probe.py (guide §7.3:
+    very large plans spend their wall in the optimizer).  One slice =
+    one task = one output file; row count stays bounded by
+    configuration (stages · (1 + n_buckets))."""
     rows = []
     for row, bucket_counts in entries:
         rows.append(
             (
                 row["stage"],
                 -1,
-                row["rows_in"],
-                row["rows_out"],
-                row["wall_ms"],
-                row["n_partitions"],
+                int(row["rows_in"]),
+                int(row["rows_out"]),
+                int(row["wall_ms"]),
+                int(row["n_partitions"]),
             )
         )
         rows.extend(
-            (row["stage"], pid, -1, cnt, -1, row["n_partitions"])
+            (row["stage"], int(pid), -1, int(cnt), -1, int(row["n_partitions"]))
             for pid, cnt in (bucket_counts or [])
         )
-    lineage = spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("stage"),
-                        F.lit(pid).cast("int").alias("partition_id"),
-                        F.lit(rin).cast("bigint").alias("rows_in"),
-                        F.lit(rout).cast("bigint").alias("rows_out"),
-                        F.lit(wall).cast("bigint").alias("wall_ms"),
-                        F.lit(nparts).cast("int").alias("n_partitions"),
-                    )
-                    for s, pid, rin, rout, wall, nparts in rows
-                ]
-            )
-        ).alias("r")
-    ).select("r.*")
-    lineage.coalesce(1).write.mode("append").parquet(
-        os.path.join(root, "_lineage")
+    lineage = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "stage string, partition_id int, rows_in bigint, rows_out bigint, "
+        "wall_ms bigint, n_partitions int",
     )
+    lineage.write.mode("append").parquet(os.path.join(root, "_lineage"))
 
 
 def run_pipeline(
@@ -360,17 +351,16 @@ def run_pipeline(
             fsutil.delete(spark, stale, recursive=True)
 
     # Stage A — extraction.  The extracted frame feeds two writes
-    # (rejects + good); persist for the stage's duration so the scan +
-    # rule evaluation runs once, not once per sink.
-    stage_a_cache: list[DataFrame] = []
+    # (rejects + good); pin it with localCheckpoint so the scan + rule
+    # evaluation runs once, not once per sink.  localCheckpoint beats
+    # persist(MEMORY_AND_DISK) here by ~2 s at bench scale (measured,
+    # scripts/bench_r06_probe.py stage_a): the checkpoint materializes
+    # straight to shuffle-format RDD blocks, while the cache path pays
+    # columnar-cache encode on write AND decode on each of the two
+    # sink reads, competing with execution memory (guide §5).
 
     def stage_a():
-        from pyspark import StorageLevel
-
-        extracted = extract_triples(turns, impl=impl).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        stage_a_cache.append(extracted)
+        extracted = extract_triples(turns, impl=impl).localCheckpoint(eager=True)
         good, rejects = split_rejects(extracted)
         sio.write_table(rejects, os.path.join(out_root, "rejects"), partition_key=None)
         return good
@@ -415,8 +405,6 @@ def run_pipeline(
         run.append("extract")
     else:
         triples_a = staged("extract", turns, stage_a, raw_path, "conv_id")
-    for cached in stage_a_cache:
-        cached.unpersist()
 
     # build-time frontier: record what this build processed so the
     # first --refresh is delta-scoped instead of paying the detection
@@ -476,10 +464,21 @@ def run_pipeline(
         (canonical_id, member surface), carrying the Stage-B link
         score, the blocking key, and corpus mention counts — the
         flattened analog of the reference's lexeme-entity record
-        (SURVEY §1.1: nested claims → triples + entities dimension)."""
-        return entities_dim(
-            canonical, same_as, mention_counts_of_triples(triples_a)
+        (SURVEY §1.1: nested claims → triples + entities dimension).
+
+        Mention counts come from the ``_surface_stats`` rollup the
+        build just materialized (ensure_surface_stats above), NOT from
+        a second corpus-wide ``mention_counts_of_triples`` aggregation
+        — the rollup input is ≤ vocabulary × n_buckets rows and
+        produces the identical frame by the sidecar's documented
+        contract (the refresh path already relies on this equality;
+        measured 1.43 s → 0.58 s at bench scale, bench_r06_probe)."""
+        from lexicator_spark.plans.refresh import surface_rollup
+
+        stats = sio.read_table(
+            spark, os.path.join(out_root, "_surface_stats")
         )
+        return entities_dim(canonical, same_as, surface_rollup(stats))
 
     if _runs("entities"):
         staged("entities", None, stage_entities, entities_path, None)

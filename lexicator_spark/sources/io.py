@@ -205,7 +205,15 @@ def upsert_partitions(
     PRECOMPUTED by the caller (e.g. the ``_surface_stats`` sidecar
     table, whose bucket is the SOURCE conversation's bucket, not a
     hash of its own key).  ``files_per_bucket`` must stay 1 there —
-    the intra-bucket salt needs a hashable key."""
+    the intra-bucket salt needs a hashable key.
+
+    Returns the replacement's per-bucket row counts (sorted
+    ``[(bucket, count), ...]``) when ``touched_buckets`` is given,
+    else ``None``.  The counts ride the became-empty probe the upsert
+    already runs over the pinned frame (a ``groupBy(p_hash).count()``
+    instead of a bare ``distinct()`` — same tiny job), so callers
+    maintaining per-bucket lineage (``plans.refresh``) never pay a
+    second partition-pruned read of the files just written."""
     spark = df.sparkSession
     meta = read_bucket_meta(spark, location)
     if meta is not None and (
@@ -229,6 +237,7 @@ def upsert_partitions(
         hashed = df
     else:
         hashed = with_partition_hash(df, partition_key, n_buckets)
+    counts: list[tuple[int, int]] | None = None
     if touched_buckets is not None:
         # pin ONE evaluation of the replacement frame: `present` and
         # the write below must see identical rows, or a lazily-self-
@@ -236,9 +245,11 @@ def upsert_partitions(
         # present yet write it empty — escaping deletion and
         # resurrecting stale rows
         hashed = hashed.localCheckpoint(eager=True)
-        present = {
-            r.p_hash for r in hashed.select("p_hash").distinct().collect()
-        }
+        counts = sorted(
+            (int(r["p_hash"]), int(r["count"]))
+            for r in hashed.groupBy("p_hash").count().collect()
+        )
+        present = {b for b, _ in counts}
     n_write_buckets = (
         len(touched_buckets) if touched_buckets is not None else n_buckets
     )
@@ -255,6 +266,7 @@ def upsert_partitions(
             fsutil.delete(spark, os.path.join(location, f"p_hash={b}"), recursive=True)
     fsutil.write_text(spark, _schema_sidecar(location), hashed.schema.json())
     _write_bucket_meta(spark, location, partition_key, n_buckets)
+    return counts
 
 
 def read_table(
