@@ -253,6 +253,15 @@ def run_pipeline(
         # the marker now so later resumes don't re-pay the distinct scan
         _mark_lineage_flushed(spark, out_root, flushed)
 
+    # futures a stage's fn() launched that must complete BEFORE that
+    # stage's checkpoint marker becomes durable (e.g. the extract
+    # stage's error-channel write): a marker must never promise
+    # outputs a still-in-flight side write could fail to deliver —
+    # resume would then skip the stage and serve the broken sink
+    # forever.  Joined (and cleared) by staged() right before
+    # _mark_done.
+    pre_mark_joins: list = []
+
     def staged(name: str, in_df: DataFrame | None, fn, out_path: str, partition_key):
         if resume and _is_done(spark, out_root, name):
             skipped.append(name)
@@ -299,6 +308,9 @@ def run_pipeline(
         }
         lineage.append(row)
         lineage_entries.append((row, buckets))
+        for fut in pre_mark_joins:
+            fut.result()
+        pre_mark_joins.clear()
         _mark_done(
             spark,
             out_root,
@@ -350,6 +362,18 @@ def run_pipeline(
         ):
             fsutil.delete(spark, stale, recursive=True)
 
+    # Side-job pool (guide §2.6): independent writes/aggregates whose
+    # outputs no stage reads (error channel, _frontier, the stats
+    # sidecar) run concurrently with the stage chain so their fixed
+    # job costs back-fill idle executor capacity instead of extending
+    # the critical path.  All futures are joined before the function
+    # returns (primary stage errors win; side-job errors surface on
+    # the success path) — see _join_side_jobs below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    side_pool = ThreadPoolExecutor(max_workers=3)
+    side_futures = []
+
     # Stage A — extraction.  The extracted frame feeds two writes
     # (rejects + good); pin it with localCheckpoint so the scan + rule
     # evaluation runs once, not once per sink.  localCheckpoint beats
@@ -357,12 +381,22 @@ def run_pipeline(
     # scripts/bench_r06_probe.py stage_a): the checkpoint materializes
     # straight to shuffle-format RDD blocks, while the cache path pays
     # columnar-cache encode on write AND decode on each of the two
-    # sink reads, competing with execution memory (guide §5).
+    # sink reads, competing with execution memory (guide §5).  The
+    # rejects sink reads only the pinned checkpoint and nothing reads
+    # it back in-run — written on the side pool, overlapped with the
+    # good-side bucketed write.
 
     def stage_a():
         extracted = extract_triples(turns, impl=impl).localCheckpoint(eager=True)
         good, rejects = split_rejects(extracted)
-        sio.write_table(rejects, os.path.join(out_root, "rejects"), partition_key=None)
+        # pre_mark_joins, not side_futures: the extract marker's
+        # durability must wait for the error channel (see staged)
+        pre_mark_joins.append(
+            side_pool.submit(
+                sio.write_table, rejects,
+                os.path.join(out_root, "rejects"), partition_key=None,
+            )
+        )
         return good
 
     if backfill_groups is not None and not (
@@ -418,46 +452,90 @@ def run_pipeline(
     # from the triples table instead, which is always safe).
     from lexicator_spark.operators.incremental import materialize_frontier
 
-    if "extract" in run:
-        materialize_frontier(spark, turns, raw_path, n_buckets=n_buckets)
-
     # likewise materialize the per-bucket surface-universe stats
     # (_surface_stats) the end-to-end refresh maintains — one
     # aggregate over the mention triples this build just wrote, so
     # the first --refresh-e2e never pays a full-table bootstrap and
-    # the table is born consistent with the downstream stages
+    # the table is born consistent with the downstream stages.
+    #
+    # Both sidecar builds are INDEPENDENT of stages B-D (they read the
+    # turns snapshot / the raw table, and write underscore-prefixed
+    # sidecars no stage reads): run them on the side pool so their
+    # ~5 s of aggregate+bucketed-write jobs back-fill the executor
+    # capacity stages B-D leave idle (guide §2.6 — overlap independent
+    # jobs) instead of extending the critical path.  The stats table
+    # IS read by stage_entities, so the side jobs are joined before
+    # that stage runs.
     from lexicator_spark.plans.refresh import ensure_surface_stats
 
-    ensure_surface_stats(spark, out_root, n_buckets)
+    def _join_side_jobs(swallow: bool = False) -> None:
+        """Wait for every side job.  ``swallow=True`` on the error
+        path: the primary stage exception must not be masked by a
+        secondary side-job failure raised out of a finally block."""
+        for fut in side_futures:
+            if swallow:
+                try:
+                    fut.result()
+                except Exception:
+                    pass
+            else:
+                fut.result()
+        side_futures.clear()
 
-    # Stage B — linking
-    def stage_b():
-        catalog = build_catalog(spark)
-        return link_mentions(triples_a, catalog)
-
-    if _runs("link"):
-        same_as = staged(
-            "link", triples_a, stage_b, os.path.join(out_root, "same_as"), None
+    try:
+        if "extract" in run:
+            side_futures.append(
+                side_pool.submit(
+                    materialize_frontier, spark, turns, raw_path,
+                    n_buckets=n_buckets,
+                )
+            )
+        side_futures.append(
+            side_pool.submit(
+                ensure_surface_stats, spark, out_root, n_buckets
+            )
         )
 
-    # Stage C — canonicalization
-    def stage_c():
-        edges = same_as.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
-        assignments = connected_components(edges)
-        return canonical_of_triples(assignments)
+        # Stage B — linking
+        def stage_b():
+            catalog = build_catalog(spark)
+            return link_mentions(triples_a, catalog)
 
-    if _runs("canonicalize"):
-        canonical = staged(
-            "canonicalize", same_as, stage_c,
-            os.path.join(out_root, "canonical"), None,
-        )
+        if _runs("link"):
+            same_as = staged(
+                "link", triples_a, stage_b, os.path.join(out_root, "same_as"), None
+            )
 
-    # Stage D — materialize final graph tables
-    def stage_d():
-        return triples_a.unionByName(same_as).unionByName(canonical)
+        # Stage C — canonicalization
+        def stage_c():
+            edges = same_as.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+            assignments = connected_components(edges)
+            return canonical_of_triples(assignments)
 
-    if _runs("materialize"):
-        staged("materialize", None, stage_d, triples_path, "conv_id")
+        if _runs("canonicalize"):
+            canonical = staged(
+                "canonicalize", same_as, stage_c,
+                os.path.join(out_root, "canonical"), None,
+            )
+
+        # Stage D — materialize final graph tables
+        def stage_d():
+            return triples_a.unionByName(same_as).unionByName(canonical)
+
+        if _runs("materialize"):
+            staged("materialize", None, stage_d, triples_path, "conv_id")
+
+        # join BEFORE entities (reads _surface_stats) and before
+        # returning: a side-job failure must fail the build, never
+        # strand a root whose _frontier/_surface_stats/rejects
+        # silently diverge from the stages (the refresh contract
+        # depends on them)
+        _join_side_jobs()
+    except BaseException:
+        _join_side_jobs(swallow=True)
+        side_pool.shutdown()
+        raise
+    side_pool.shutdown()
 
     def stage_entities():
         """Entity dimension table (FIXTURES.md §4): one row per

@@ -58,9 +58,11 @@ def run_refresh_e2e(spark):
 
     turns = spark.read.parquet(CORPUS)
     root = "/tmp/spot_kg_materialized"
-    if not os.path.exists(os.path.join(root, "_checkpoints", "entities.json")):
-        shutil.rmtree(root, ignore_errors=True)
-        run_pipeline(spark, turns, root, resume=False)
+    # ALWAYS rebuild: a leftover root from a prior spot run has the
+    # deltas already applied, turning the refresh into a 0-changed
+    # no-op and the "measurement" into fiction
+    shutil.rmtree(root, ignore_errors=True)
+    run_pipeline(spark, turns, root, resume=False)
     last_turns = (
         turns.withColumn(
             "rn",
