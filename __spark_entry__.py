@@ -742,7 +742,11 @@ def _kg_span_proximity(spark, sf):
     by term), so pair dedup never conflates lexicographic and
     positional order — "zebra … apple" pairs exactly like
     "apple … zebra"."""
-    spans = _kg_mention_spans(spark, sf)
+    # pinned: the span extraction feeds both sides of the theta
+    # self-join — un-pinned, the corpus tokenize + position scan ran
+    # twice; the pinned frame is (doc, term, start, end), vocabulary-
+    # bounded per doc
+    spans = _kg_mention_spans(spark, sf).localCheckpoint(eager=True)
     a = spans.select(
         "doc_id",
         F.col("term").alias("term_a"),
@@ -832,7 +836,12 @@ def _kg_khop_reachable(spark, sf):
     recursive-SQL-expressible)."""
     from lexicator_spark.operators import graph as G
 
-    m = _kg_extract_mentions(spark, sf)
+    # pinned: the mention extraction (corpus tokenize + explode) feeds
+    # both the edge frame and the seed aggregate — un-pinned it ran
+    # twice per query (khop_distances pins the adjacency, but the seed
+    # branch re-derived the whole extraction); the pinned frame is the
+    # distinct (doc, term) set, vocabulary-bounded per doc
+    m = _kg_extract_mentions(spark, sf).localCheckpoint(eager=True)
     edges = m.select(
         F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("a"),
         F.concat(F.lit("t:"), F.col("term")).alias("b"),

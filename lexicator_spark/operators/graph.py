@@ -162,7 +162,13 @@ def khop_distances(
         )
         if frontier.isEmpty():
             break
-        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        # NO checkpoint on the visited union: it is a flat unionAll of
+        # ≤ k+1 already-checkpointed frontier RDDs, so lineage depth
+        # stays 1 regardless of hop count (bounded by the query
+        # parameter k, not data) and the per-hop materialization job
+        # the r5 shape paid here bought nothing (measured: one job per
+        # hop of pure fixed cost at bench scale)
+        visited = visited.unionAll(frontier)
     return visited
 
 
@@ -215,6 +221,13 @@ def negative_samples(
     if vocab is None:
         from pyspark.sql import Window
 
+        # pinned: the derived vocabulary is consumed three times (the
+        # density-validation aggregate plus both equi-joins below) and
+        # each un-pinned evaluation re-runs the corpus-wide distinct +
+        # global-sort window.  The pin materializes only the
+        # vocabulary (≪ triples by definition).  A caller-supplied
+        # dimension table is left as-is — pinning someone else's
+        # frame is their call.
         vocab = (
             triples.select(F.col("obj").alias("entity"))
             .distinct()
@@ -222,6 +235,7 @@ def negative_samples(
                 "entity",
                 (F.row_number().over(Window.orderBy("entity")) - 1).alias("idx"),
             )
+            .localCheckpoint(eager=True)
         )
     # one aggregate pass validates the ring arithmetic's precondition:
     # idx must be DENSE 0..n-1, or the second join (neg_idx → entity)

@@ -630,12 +630,44 @@ def refresh_triples_partitioned(
             )
         else:
             frontier = sio.read_table(spark, floc)
-        latest = turns.groupBy("conv_id").agg(F.max("turn_idx").alias("max_idx"))
+        # Detection as ONE union-aggregate instead of aggregate + left
+        # join: tagging turns rows live=true and frontier rows
+        # live=false, a single groupBy(conv_id) computes both sides'
+        # maxima — one exchange with map-side partial aggregation
+        # (each scan partition ships ~one row per conversation)
+        # replaces the r5 shape's three exchanges + two sorts (the
+        # snapshot aggregate, then both sides re-shuffled for the
+        # sort-merge join).  Semantics identical: candidates are
+        # conversations present in TURNS (max_idx non-null), changed
+        # iff no frontier row or the snapshot advanced past it.
+        merged = (
+            turns.select(
+                "conv_id",
+                F.col("turn_idx").alias("idx"),
+                F.lit(True).alias("live"),
+            )
+            .unionByName(
+                frontier.select(
+                    "conv_id",
+                    F.col("done_max_idx").alias("idx"),
+                    F.lit(False).alias("live"),
+                )
+            )
+            .groupBy("conv_id")
+            .agg(
+                F.max(F.when(F.col("live"), F.col("idx"))).alias("max_idx"),
+                F.max(F.when(~F.col("live"), F.col("idx"))).alias(
+                    "done_max_idx"
+                ),
+            )
+        )
         changed_with_max = (
-            latest.join(frontier, "conv_id", "left")
-            .filter(
-                F.col("done_max_idx").isNull()
-                | (F.col("max_idx") > F.col("done_max_idx"))
+            merged.filter(
+                F.col("max_idx").isNotNull()
+                & (
+                    F.col("done_max_idx").isNull()
+                    | (F.col("max_idx") > F.col("done_max_idx"))
+                )
             )
             .select("conv_id", "max_idx")
             .localCheckpoint(eager=True)

@@ -270,7 +270,20 @@ def stateful_replies_stream_buffered(
 
     ttl_us = _interval_us(watermark_delay)
 
+    out_columns = [f.name for f in _REPLIES_OUT_SCHEMA.fields]
+
     def fn(key, pdfs, state):
+        # Per-group cost IS the operator's throughput: the stream has
+        # ~3 rows per conversation, so this function runs once per
+        # conversation per micro-batch and anything per-row-ish here
+        # multiplies by the whole key space (measured: state update
+        # time dominates every micro-batch, bench_r06_stream.py).
+        # Hence: bulk ns→µs conversion via one numpy astype per chunk
+        # instead of a pd.Timestamp wrapper per row, plain-int lists
+        # (tolist) to skip numpy scalar boxing in the loop, and ONE
+        # vectorized to_datetime on the emitted rows instead of a
+        # Timestamp construction per emitted row (guide §4.2 — do the
+        # heavy lifting vectorized, keep interpreted Python minimal).
         conv_id = key[0]
         last_idx = None
         buf: dict[int, int] = {}
@@ -279,9 +292,12 @@ def stateful_replies_stream_buffered(
             last_idx = st[0]
             buf = dict(zip(st[1] or [], st[2] or []))
         for pdf in pdfs:
-            for idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
-                idx = int(idx)
-                us = int(pd.Timestamp(ts).value // 1_000)
+            if not len(pdf):
+                continue
+            idxs = pdf["turn_idx"].to_numpy().tolist()
+            # int64 ns → µs; floor division matches Timestamp.value//1000
+            uss = (pdf["ts"].to_numpy().astype("int64") // 1_000).tolist()
+            for idx, us in zip(idxs, uss):
                 # already-emitted or replayed turns are skipped (a
                 # dedup_turns_stream upstream handles true replays;
                 # this is belt-and-braces)
@@ -305,7 +321,7 @@ def stateful_replies_stream_buffered(
                         1.0,
                         conv_id,
                         idx,
-                        pd.Timestamp(us, unit="us"),
+                        us,
                     )
                 )
             last_idx = idx
@@ -333,9 +349,11 @@ def stateful_replies_stream_buffered(
                 max(cleanup_ms, state.getCurrentWatermarkMs() + 1)
             )
         if rows:
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in _REPLIES_OUT_SCHEMA.fields]
+            out = pd.DataFrame(rows, columns=out_columns)
+            out["extracted_at"] = pd.to_datetime(
+                out["extracted_at"], unit="us"
             )
+            yield out
 
     replies = (
         turns_stream.select("conv_id", "turn_idx", "ts")
