@@ -386,9 +386,18 @@ def run_pipeline(
     # it back in-run — written on the side pool, overlapped with the
     # good-side bucketed write.
 
+    # when extraction runs THIS invocation, its pinned output is kept
+    # here so stage D can union straight from the checkpoint instead
+    # of re-reading the just-written parquet (identical rows by
+    # determinism: the raw table holds exactly these rows); on a
+    # marker-skipped resume the list stays empty and stage D reads
+    # the persisted table as before
+    stage_a_ckpt: list[DataFrame] = []
+
     def stage_a():
         extracted = extract_triples(turns, impl=impl).localCheckpoint(eager=True)
         good, rejects = split_rejects(extracted)
+        stage_a_ckpt.append(good)
         # pre_mark_joins, not side_futures: the extract marker's
         # durability must wait for the error channel (see staged)
         pre_mark_joins.append(
@@ -496,10 +505,13 @@ def run_pipeline(
             )
         )
 
-        # Stage B — linking
+        # Stage B — linking (from the stage-A checkpoint when this
+        # invocation extracted — same rows, no parquet re-scan)
         def stage_b():
             catalog = build_catalog(spark)
-            return link_mentions(triples_a, catalog)
+            return link_mentions(
+                stage_a_ckpt[0] if stage_a_ckpt else triples_a, catalog
+            )
 
         if _runs("link"):
             same_as = staged(
@@ -520,7 +532,8 @@ def run_pipeline(
 
         # Stage D — materialize final graph tables
         def stage_d():
-            return triples_a.unionByName(same_as).unionByName(canonical)
+            raw_src = stage_a_ckpt[0] if stage_a_ckpt else triples_a
+            return raw_src.unionByName(same_as).unionByName(canonical)
 
         if _runs("materialize"):
             staged("materialize", None, stage_d, triples_path, "conv_id")
