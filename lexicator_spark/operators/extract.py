@@ -138,21 +138,6 @@ def extract_triples(
     turns = turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     uri = F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
 
-    # --- structural rules (pure Catalyst, no text parsing) ------------
-    uses_tool = (
-        turns.filter(F.col("tool").isNotNull())
-        .select(
-            uri.alias("subj"),
-            F.lit(rules.PRED_USES_TOOL).alias("pred"),
-            F.col("tool").alias("obj"),
-            F.lit(1.0).alias("conf"),
-            null_span(),
-            "conv_id",
-            "turn_idx",
-            F.col("ts").alias("extracted_at"),
-        )
-    )
-
     # replies_to via lag over the stable (conv_id, turn_idx) window —
     # enforces the ordering invariant instead of trusting arithmetic
     # on possibly-non-contiguous turn indexes.
@@ -183,6 +168,36 @@ def extract_triples(
         hits = _native_text_hits(turns)
     else:
         raise ValueError(f"unknown impl {impl!r}")
+
+    # --- structural uses_tool rule, FUSED into the hits array ---------
+    # A separate uses_tool branch unioned with the text branch would
+    # evaluate the whole input subtree (scan, or scan + delta
+    # semi-join in the refresh path) a third time — union branches get
+    # no common-subexpression sharing in Catalyst.  Concatenating the
+    # one structural hit into the same per-row array keeps extraction
+    # at TWO subtree evaluations (this one + the pruned replies
+    # window), measured 2.67 s → ~1.8 s on the refresh delta-extract
+    # shape.  Fused OUTSIDE the impl-specific hit computation so both
+    # impls stay byte-equal; pred is disjoint from every text-rule
+    # pred, so the per-array (pred, obj) dedup semantics are
+    # untouched.  coalesce: a NULL text yields NULL text-hits, which
+    # must not swallow the tool hit (concat propagates NULL).
+    empty_hits = F.array().cast(_RULE_HIT)
+    tool_hits = F.when(
+        F.col("tool").isNotNull(),
+        F.array(
+            F.struct(
+                F.lit(rules.PRED_USES_TOOL).alias("pred"),
+                F.col("tool").alias("obj"),
+                F.lit(1.0).alias("conf"),
+                F.lit(None).cast("int").alias("start"),
+                F.lit(None).cast("int").alias("end"),
+            )
+        ),
+    ).otherwise(empty_hits)
+    hits = hits.withColumn(
+        "hits", F.concat(tool_hits, F.coalesce(F.col("hits"), empty_hits))
+    )
 
     text_triples = (
         hits.select(
@@ -217,13 +232,14 @@ def extract_triples(
     )
 
     # Dedup (SURVEY.md §2 #10): duplicate facts can ONLY arise inside
-    # one turn's hits array (the three branches are disjoint by pred;
+    # one turn's hits array (the rule families are disjoint by pred;
     # uses_tool/replies_to emit one row per turn by construction), so
     # dedup is a per-row array filter — no global shuffle.  First
     # occurrence wins (exact-alias conf=1.0 precedes wikilink 0.8 in
     # the concat order), which keeps conf deterministic.
-    out = uses_tool.unionByName(text_triples)
-    return out.unionByName(replies) if replies is not None else out
+    if replies is None:
+        return text_triples
+    return text_triples.unionByName(replies)
 
 
 def _native_text_hits(turns: DataFrame) -> DataFrame:

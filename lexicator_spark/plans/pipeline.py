@@ -286,14 +286,28 @@ def run_pipeline(
             return sio.read_table(spark, out_path)
         t0 = time.monotonic()
         out_df = fn()
-        sio.write_table(out_df, out_path, partition_key=partition_key, n_buckets=n_buckets)
-        persisted = sio.read_table(spark, out_path)
-        # bucketed stage tables: rows_out = sum of the per-bucket
-        # counts (one scan serves both); unbucketed: metadata count
-        buckets = _bucket_counts(spark, out_path)
-        rows_out = (
-            sum(c for _, c in buckets) if buckets is not None else persisted.count()
+        observed = sio.write_table(
+            out_df, out_path, partition_key=partition_key, n_buckets=n_buckets,
+            observe_counts=True,
         )
+        persisted = sio.read_table(spark, out_path)
+        # row counts observed on the write job itself (CollectMetrics)
+        # — no second scan of the files just written; the catalog
+        # backend (observed None) falls back to the footer-metadata
+        # count.  [(-1, n)] marks an unbucketed write.
+        if observed is None:
+            buckets = _bucket_counts(spark, out_path)
+            rows_out = (
+                sum(c for _, c in buckets)
+                if buckets is not None
+                else persisted.count()
+            )
+        elif observed and observed[0][0] == -1:
+            buckets = None
+            rows_out = observed[0][1]
+        else:
+            buckets = observed
+            rows_out = sum(c for _, c in observed)
         wall_ms = int((time.monotonic() - t0) * 1000)
         row = {
             "stage": name,
@@ -535,8 +549,92 @@ def run_pipeline(
             raw_src = stage_a_ckpt[0] if stage_a_ckpt else triples_a
             return raw_src.unionByName(same_as).unionByName(canonical)
 
+        def _materialize_copy() -> bool:
+            """Stage D without recomputation (parquet backend): the raw
+            table was JUST written bucketed by the same
+            ``(conv_id, n_buckets)`` scheme this stage would bucket by,
+            and every same_as/canonical row carries a NULL conv_id — so
+            for every bucket EXCEPT the NULL bucket the raw files are
+            already the materialized table's exact content.  Clone them
+            at the FS level (``sio.copy_buckets`` — server-side copy on
+            an object store) and append same_as ∪ canonical into the
+            NULL bucket; this skips the union's full-table exchange +
+            parquet re-encode and the post-write count scan (counts =
+            extract marker's bucket counts + the write-observed extra
+            count).  Identical table content — fingerprint-verified
+            against the union write in scripts/bench_r06b_matcopy.py;
+            measured ~3.3 s → ~0.6 s at bench scale.  Returns False
+            (caller falls back to the union write) on the catalog
+            backend or when the raw layout doesn't match."""
+            if sio.iceberg_available(spark) and not sio._is_path(triples_path):
+                return False
+            raw_meta = sio.read_bucket_meta(spark, raw_path)
+            if (
+                raw_meta is None
+                or raw_meta["n_buckets"] != n_buckets
+                or raw_meta["partition_key"] != "conv_id"
+            ):
+                return False
+            from lexicator_spark.plans.refresh import _null_bucket
+
+            t0 = time.monotonic()
+            fsutil.delete(spark, triples_path, recursive=True)
+            copied = sio.copy_buckets(spark, raw_path, triples_path)
+            extra = same_as.unionByName(canonical)
+            nb = _null_bucket(spark, n_buckets)
+            n_extra = sio.append_into_bucket(extra, triples_path, nb)
+            fsutil.write_text(
+                spark,
+                os.path.join(triples_path, "_schema.json"),
+                sio.with_partition_hash(
+                    triples_a.unionByName(extra), "conv_id", n_buckets
+                ).schema.json(),
+            )
+            sio._write_bucket_meta(spark, triples_path, "conv_id", n_buckets)
+            try:
+                buckets = _read_marker(spark, out_root, "extract").get(
+                    "bucket_counts"
+                )
+            except Exception:
+                buckets = None
+            if buckets is None:
+                # pre-counts extract marker: one footer scan of the
+                # just-built table (already includes the extras)
+                buckets = _bucket_counts(spark, triples_path)
+            else:
+                merged = {int(b): int(c) for b, c in buckets}
+                if n_extra:
+                    merged[nb] = merged.get(nb, 0) + n_extra
+                buckets = sorted(merged.items())
+            rows_out = sum(c for _, c in buckets)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            row = {
+                "stage": "materialize",
+                "rows_in": -1,
+                "rows_out": rows_out,
+                "wall_ms": wall_ms,
+                "n_partitions": len(copied) + 1,
+            }
+            lineage.append(row)
+            lineage_entries.append((row, buckets))
+            _mark_done(
+                spark,
+                out_root,
+                "materialize",
+                {
+                    "rows_out": rows_out,
+                    "wall_ms": wall_ms,
+                    "bucket_counts": buckets,
+                },
+            )
+            run.append("materialize")
+            return True
+
         if _runs("materialize"):
-            staged("materialize", None, stage_d, triples_path, "conv_id")
+            if (resume and _is_done(spark, out_root, "materialize")) or (
+                not _materialize_copy()
+            ):
+                staged("materialize", None, stage_d, triples_path, "conv_id")
 
         # join BEFORE entities (reads _surface_stats) and before
         # returning: a side-job failure must fail the build, never

@@ -52,3 +52,43 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
     return bool(_fs(spark, path).delete(_jvm_path(spark, path), recursive))
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names of a directory (empty list when it doesn't exist)."""
+    fs = _fs(spark, path)
+    p = _jvm_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def copy_paths(
+    spark: SparkSession, pairs: list[tuple[str, str]], max_workers: int = 16
+) -> None:
+    """Copy (src, dst) path pairs through ``FileUtil.copy`` — the
+    FS-generic clone primitive behind the materialize-by-copy path
+    (on S3 this is a server-side copy; locally a byte copy).  Threaded:
+    each copy is an independent py4j call and the per-call overhead
+    dominates at sandbox file sizes (measured 1.15 s serial → 0.20 s
+    at 16 threads over 64 bucket dirs, scripts/bench_r06b_copystrat.py);
+    on an object store the same threading hides per-object latency."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+
+    def one(pair: tuple[str, str]) -> None:
+        src, dst = pair
+        sp, dp = _jvm_path(spark, src), _jvm_path(spark, dst)
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
+            False, True, conf,
+        )
+
+    if len(pairs) == 1:
+        one(pairs[0])
+        return
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        # list() so the first failure raises here, not silently
+        list(pool.map(one, pairs))

@@ -110,9 +110,18 @@ def write_table(
     mode: str = "overwrite",
     partition_key: str | None = "conv_id",
     n_buckets: int = DEFAULT_BUCKETS,
-) -> None:
+    observe_counts: bool = False,
+) -> list[tuple[int, int]] | None:
     """Write a stage table.  ``location`` is a path (parquet backend)
-    or a catalog table name (iceberg backend, when available)."""
+    or a catalog table name (iceberg backend, when available).
+
+    ``observe_counts=True`` rides row counts on the write job itself
+    (``Observation``/CollectMetrics — per-bucket ``count_if`` for
+    bucketed tables, one count otherwise) and returns them as sorted
+    ``[(bucket, count), ...]`` (unbucketed: ``[(-1, total)]``), so
+    stage bookkeeping never pays a second scan of the files it just
+    wrote.  Returns None when not requested or on the catalog backend
+    (Iceberg snapshots carry their own counts)."""
     spark = df.sparkSession
     if iceberg_available(spark) and not _is_path(location):
         writer = df.writeTo(location)
@@ -120,9 +129,23 @@ def write_table(
             writer.createOrReplace()
         else:
             writer.append()
-        return
+        return None
+    obs = None
+    counts: list[tuple[int, int]] | None = None
+    if observe_counts:
+        from pyspark.sql import Observation
+
+        obs = Observation()
     if partition_key is not None and partition_key in df.columns:
         df = with_partition_hash(df, partition_key, n_buckets)
+        if obs is not None:
+            df = df.observe(
+                obs,
+                *[
+                    F.count_if(F.col("p_hash") == b).alias(f"b{b}")
+                    for b in range(n_buckets)
+                ],
+            )
         # one file per p_hash dir (see _cluster_for_write): small-file
         # explosion is the thing that kills object-store listings at
         # scale, and a full-table write touches ≥ cores buckets so
@@ -130,8 +153,28 @@ def write_table(
         _cluster_for_write(df, partition_key, 1, n_buckets).write.mode(
             mode
         ).partitionBy("p_hash").parquet(location)
+        if obs is not None:
+            try:
+                got = obs.get
+                counts = sorted(
+                    (b, int(got[f"b{b}"]))
+                    for b in range(n_buckets)
+                    if int(got[f"b{b}"]) > 0
+                )
+            except Exception:
+                # a write whose plan collapsed to an empty relation
+                # runs zero tasks and never materializes metrics —
+                # callers fall back to their footer-count path
+                counts = None
     else:
+        if obs is not None:
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         df.write.mode(mode).parquet(location)
+        if obs is not None:
+            try:
+                counts = [(-1, int(obs.get["n"]))]
+            except Exception:
+                counts = None
     # explicit schema sidecar: reads never infer (and an all-empty
     # write — no parquet footers — still reads back as an empty table).
     # Written through the Hadoop FS of `location` so it lands next to
@@ -139,6 +182,7 @@ def write_table(
     fsutil.write_text(spark, _schema_sidecar(location), df.schema.json())
     if partition_key is not None and "p_hash" in df.columns:
         _write_bucket_meta(spark, location, partition_key, n_buckets)
+    return counts
 
 
 def _schema_sidecar(location: str) -> str:
@@ -178,6 +222,7 @@ def upsert_partitions(
     n_buckets: int = DEFAULT_BUCKETS,
     touched_buckets: list[int] | None = None,
     files_per_bucket: int = 1,
+    pin_replacement: bool = True,
 ) -> None:
     """Idempotent partition-level upsert on the parquet backend — the
     stand-in for Iceberg ``MERGE INTO``: dynamic partition overwrite
@@ -243,8 +288,14 @@ def upsert_partitions(
         # the write below must see identical rows, or a lazily-self-
         # reading / nondeterministic input could count a bucket
         # present yet write it empty — escaping deletion and
-        # resurrecting stale rows
-        hashed = hashed.localCheckpoint(eager=True)
+        # resurrecting stale rows.  ``pin_replacement=False`` is the
+        # caller's assertion that the frame is DETERMINISTIC and reads
+        # no files under ``location`` (e.g. the _surface_stats upsert,
+        # whose replacement aggregates the raw table) — the probe and
+        # the write then each evaluate the cheap plan once, instead of
+        # paying a full eager materialization job first.
+        if pin_replacement:
+            hashed = hashed.localCheckpoint(eager=True)
         counts = sorted(
             (int(r["p_hash"]), int(r["count"]))
             for r in hashed.groupBy("p_hash").count().collect()
@@ -267,6 +318,66 @@ def upsert_partitions(
     fsutil.write_text(spark, _schema_sidecar(location), hashed.schema.json())
     _write_bucket_meta(spark, location, partition_key, n_buckets)
     return counts
+
+
+def copy_buckets(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    buckets: list[int] | None = None,
+) -> list[int]:
+    """Clone ``p_hash=N`` bucket dirs of a bucketed parquet table into
+    ``dst`` — file-level reuse of data a previous stage already wrote
+    with the identical bucketing, instead of re-shuffling and
+    re-encoding the same rows (the parquet-backend stand-in for an
+    Iceberg metadata-only operation).  ``buckets=None`` copies every
+    bucket present; otherwise only the named ones (each dst bucket dir
+    is replaced whole — a bucket absent from ``src`` is simply left
+    deleted, the became-empty case).  Returns the bucket ids copied.
+
+    Content contract is the CALLER's: the copied files must be the
+    complete replacement content for those buckets of ``dst``."""
+    names = [
+        n for n in fsutil.list_names(spark, src) if n.startswith("p_hash=")
+    ]
+    by_id = {int(n.split("=", 1)[1]): n for n in names}
+    todo = sorted(by_id) if buckets is None else sorted(set(buckets) & set(by_id))
+    if buckets is not None:
+        # replace-whole semantics for every REQUESTED bucket, including
+        # ones with no src files (became empty)
+        for b in buckets:
+            fsutil.delete(spark, os.path.join(dst, f"p_hash={b}"), recursive=True)
+    fsutil.copy_paths(
+        spark,
+        [
+            (os.path.join(src, by_id[b]), os.path.join(dst, by_id[b]))
+            for b in todo
+        ],
+    )
+    return todo
+
+
+def append_into_bucket(df: DataFrame, location: str, bucket: int) -> int:
+    """Append ``df`` (no ``p_hash`` column) as extra file(s) of ONE
+    bucket dir of a bucketed table, returning the row count (observed
+    during the write — no second pass).  Used for the NULL-conv_id
+    bucket's same_as/canonical rows next to a copied raw bucket."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        df.observe(obs, F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
+        .withColumn("p_hash", F.lit(bucket).cast("int"))
+        .write.mode("append")
+        .partitionBy("p_hash")
+        .parquet(location)
+    )
+    try:
+        return int(obs.get["n"])
+    except Exception:
+        # empty-relation write: zero tasks ran, zero rows appended
+        return 0
 
 
 def read_table(
