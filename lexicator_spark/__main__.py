@@ -3,7 +3,7 @@
 
     spark-submit --py-files $(python -m lexicator_spark.submit) \
         -m lexicator_spark --input <turns.parquet> --out <root> \
-        [--stage all|extract|link|canonicalize|materialize] \
+        [--stage all|extract|link|canonicalize|materialize|entities] \
         [--no-resume] [--impl native|pandas] [--synth N] \
         [--refresh] [--refresh-e2e] [--dedup METHOD] [--dedup-turns] \
         [--decontam BENCH.parquet] \
@@ -30,8 +30,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="synthesize N conversations instead of --input")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", required=True, help="output root for stage tables")
-    ap.add_argument("--stage", default="all",
-                    choices=["all", "extract", "link", "canonicalize", "materialize"])
+    # choices derived from the pipeline's stage order — the single
+    # authority (plans.pipeline.STAGES), so the CLI can never drift
+    # from what run_pipeline(stop_after=...) accepts
+    from lexicator_spark.plans.pipeline import STAGES as _STAGES
+
+    ap.add_argument("--stage", default="all", choices=["all", *_STAGES])
     ap.add_argument("--impl", default="native", choices=["native", "pandas"])
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--refresh", action="store_true",
@@ -453,7 +457,7 @@ def main(argv: list[str] | None = None) -> int:
                 # recomputes them, keep extract's (the refresh IS the
                 # extract).  A no-op refresh keeps every checkpoint —
                 # the whole invocation is then metadata-only.
-                for stage in ("link", "canonicalize", "materialize", "entities"):
+                for stage in _STAGES[1:]:
                     fsutil.delete(
                         spark,
                         os.path.join(args.out, "_checkpoints", f"{stage}.json"),
