@@ -296,6 +296,12 @@ def upsert_partitions(
         # paying a full eager materialization job first.
         if pin_replacement:
             hashed = hashed.localCheckpoint(eager=True)
+        # NOTE: folding this probe into the write as observed metrics
+        # (the write_table observe_counts trick) was A/B-measured and
+        # NOT adopted: over 7 interleaved fresh-JVM rounds the fused
+        # shape was par-to-5%-slower on the sparse refresh — this
+        # probe over the pinned in-memory frame costs ~0.1 s, below
+        # the observation's own overhead on this path.
         counts = sorted(
             (int(r["p_hash"]), int(r["count"]))
             for r in hashed.groupBy("p_hash").count().collect()
