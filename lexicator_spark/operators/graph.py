@@ -151,16 +151,33 @@ def khop_distances(
         .localCheckpoint(eager=True)
     )
     frontier = visited
+    # frontier/visited are checkpoint-RDD-backed: Catalyst has no size
+    # estimate for them, so un-hinted, every hop's joins plan as
+    # sort-merge — re-shuffling the pinned, never-changing adjacency
+    # each round (the same defect pagerank had, guide §3.1).  The
+    # frontier size is ALREADY counted each hop (the empty-frontier
+    # stop), so that exact count gates an explicit broadcast of the
+    # node-sized sides; a frontier/visited set beyond the threshold
+    # falls back to the shuffle plan by design.
+    n_frontier = frontier.count()
+    n_visited = n_frontier
     for hop in range(1, k + 1):
+        f_side = frontier
+        if n_frontier <= _BROADCAST_NODES_MAX:
+            f_side = F.broadcast(frontier)
+        v_side = visited.select("node")
+        if n_visited <= _BROADCAST_NODES_MAX:
+            v_side = F.broadcast(v_side)
         frontier = (
-            frontier.join(adj, frontier["node"] == adj["src"])
+            f_side.join(adj, frontier["node"] == adj["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(v_side, "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        if frontier.isEmpty():
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
         # NO checkpoint on the visited union: it is a flat unionAll of
         # ≤ k+1 already-checkpointed frontier RDDs, so lineage depth
@@ -169,6 +186,7 @@ def khop_distances(
         # the r5 shape paid here bought nothing (measured: one job per
         # hop of pure fixed cost at bench scale)
         visited = visited.unionAll(frontier)
+        n_visited += n_frontier
     return visited
 
 
