@@ -64,10 +64,12 @@ def _delta_good_triples(
     changed_ids: list[str] | None = None,
 ) -> DataFrame:
     """Re-extract the changed conversations, good triples only (the
-    error channel stays out of stage tables, same as stage_a).  Joins
-    carry no broadcast hint: ``changed`` is unbounded (a bulk backfill
-    can touch most conversations), so AQE decides broadcast-vs-shuffle
-    from the runtime size instead of an 8-GB-limited forced hint.
+    error channel stays out of stage tables, same as stage_a).  This
+    function adds no broadcast hint of its own — ``changed`` is
+    unbounded in general (a bulk backfill can touch most
+    conversations); callers that KNOW the delta size pass a
+    pre-hinted frame (refresh_triples_partitioned broadcasts it when
+    n_changed ≤ 1M) and AQE decides for the rest.
 
     ``changed_ids`` (the collected id list, supplied by callers only
     when the delta is small — bounded by ``_ISIN_DELTA_MAX``) replaces
@@ -722,9 +724,17 @@ def refresh_triples_partitioned(
         if n_changed <= _ISIN_DELTA_MAX
         else None
     )
-    # no forced broadcast hints: `changed` is unbounded (bulk backfill
-    # days touch most conversations) — AQE picks broadcast when the
-    # runtime size allows.
+    # `changed` is checkpoint-RDD-backed (no Catalyst size estimate),
+    # so un-hinted, the anti/semi-joins below plan as sort-merge and
+    # shuffle the KEPT side.  n_changed is now known EXACTLY before
+    # any of these joins run, so a gated explicit broadcast (same
+    # bound the graph loops use) beats both the SMJ and AQE's
+    # shuffle-then-replan detour; bulk deltas beyond the bound keep
+    # the shuffle plan — `changed` is unbounded in general (a backfill
+    # day can touch most conversations).
+    changed_j = (
+        F.broadcast(changed) if n_changed <= 1_000_000 else changed
+    )
     # Kept rows are read by filtering on the PARTITION COLUMN itself
     # (keep_bucket_col=True + isin(touched)), so the parquet source
     # prunes to the touched bucket directories — re-deriving the hash
@@ -736,8 +746,13 @@ def refresh_triples_partitioned(
         .filter(F.col("p_hash").isin(touched))
         .drop("p_hash")
         .filter(F.col("conv_id").isNotNull())
-        .join(changed, "conv_id", "left_anti")
+        .join(changed_j, "conv_id", "left_anti")
     )
+    # the re-extraction semi-join stays UNhinted: interleaved A/B at
+    # the 1%-delta shape (3071 changed) measured the forced-broadcast
+    # variant par-to-slightly-worse there — AQE already handles the
+    # corpus-side join well, and the anti-joins below are where the
+    # kept-side shuffle actually disappears
     replacement = kept_in_touched.unionByName(
         _delta_good_triples(turns, changed, impl, changed_ids=changed_ids)
     )
@@ -763,7 +778,7 @@ def refresh_triples_partitioned(
         )
     if bootstrap:
         frontier_replacement = frontier.join(
-            changed, "conv_id", "left_anti"
+            changed_j, "conv_id", "left_anti"
         ).unionByName(new_frontier)
     else:
         # partition-pruned like kept_in_touched: only touched buckets
@@ -772,7 +787,7 @@ def refresh_triples_partitioned(
             sio.read_table(spark, floc, keep_bucket_col=True)
             .filter(F.col("p_hash").isin(touched))
             .drop("p_hash")
-            .join(changed, "conv_id", "left_anti")
+            .join(changed_j, "conv_id", "left_anti")
         )
         frontier_replacement = kept_frontier.unionByName(new_frontier)
 
