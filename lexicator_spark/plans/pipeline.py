@@ -409,7 +409,20 @@ def run_pipeline(
     stage_a_ckpt: list[DataFrame] = []
 
     def stage_a():
-        extracted = extract_triples(turns, impl=impl).localCheckpoint(eager=True)
+        # serialized checkpoint blocks (pyspark-4 naming: MEMORY_AND_DISK
+        # stores serialized; the eager default is MEMORY_AND_DISK_DESER):
+        # this is the one corpus-sized pin in the engine, and its
+        # deserialized form held ~8.5 GB of an 8 GB local-mode heap at
+        # 29.3M turns — the build then OOMed in stage B 2 of 5 runs
+        # (GC-timing luck).  Serialized blocks are several-fold
+        # smaller, measured bench-neutral (4.03 vs 4.08 s for the full
+        # extract-pin-write cycle at sf0.1), and the two consumers
+        # (bucketed write + rejects write) each decode once.
+        from pyspark import StorageLevel
+
+        extracted = extract_triples(turns, impl=impl).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
         good, rejects = split_rejects(extracted)
         stage_a_ckpt.append(good)
         # pre_mark_joins, not side_futures: the extract marker's
